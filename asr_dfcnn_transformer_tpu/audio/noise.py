@@ -1,0 +1,88 @@
+"""Device-side colored-noise augmentation.
+
+The reference synthesizes 1/f^alpha colored noise on the host with numpy FFTs
+and writes an entire augmented corpus to disk offline
+(``util/noise.py:17-128``, ``util/noise_util.py:23-49``). Here the same
+transform is a jittable per-batch JAX function, so augmentation runs on-TPU
+inside the input pipeline — no offline corpus, no disk round-trip.
+
+Semantics mirrored:
+- ``color_noise`` (noise.py:17-34): shape white Gaussian noise in the
+  frequency domain by ``k^alpha`` (alpha in [-1, 1]; 0=white, <0 red, >0
+  blue), hermitian-symmetrize, inverse FFT, de-mean, normalize by max.
+- ``SNR2K`` (noise.py:48-52): gain ``sqrt(Es/En) * 10^(-dB/20)``, with the
+  SNR drawn uniformly from {5..10} dB and alpha from {-1.0,-0.9,...,1.0}
+  when randomized (noise.py:96-100 uses randint granularity 0.1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
+    """One colored-noise realization of ``length`` samples.
+
+    alpha may be a traced scalar. Normalization matches noise.py:30-31:
+    subtract mean, divide by max (signed max, as in the reference).
+    """
+    white = jax.random.normal(key, (length,), dtype=jnp.float32)
+    spec = jnp.fft.rfft(white)
+    # Reference shapes bin i (0-based) by (i+1)**alpha over the half spectrum.
+    k = jnp.arange(1, spec.shape[0] + 1, dtype=jnp.float32)
+    shaped = spec * (k ** alpha)
+    noise = jnp.fft.irfft(shaped, n=length)
+    noise = noise - jnp.mean(noise)
+    noise = noise / jnp.max(noise)
+    return noise.astype(jnp.float32)
+
+
+def snr_to_gain(signal: jnp.ndarray, noise: jnp.ndarray, snr_db: jnp.ndarray,
+                signal_len: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Noise gain K st. mixing signal + K*noise hits ``snr_db`` (noise.py:48-52).
+
+    With ``signal_len`` given, signal energy is averaged over the valid
+    prefix only (padded batches).
+    """
+    if signal_len is None:
+        es = jnp.mean(signal * signal)
+    else:
+        n = signal.shape[-1]
+        mask = (jnp.arange(n) < signal_len).astype(signal.dtype)
+        es = jnp.sum(signal * signal * mask) / jnp.maximum(signal_len, 1)
+    en = jnp.mean(noise * noise)
+    return jnp.sqrt(es / jnp.maximum(en, 1e-12)) * (10.0 ** (-snr_db / 20.0))
+
+
+def add_noise_batch(key: jax.Array, signals: jnp.ndarray,
+                    lengths: jnp.ndarray | None = None,
+                    snr_db_range: tuple = (5, 10),
+                    alpha_range: tuple = (-1.0, 1.0)) -> jnp.ndarray:
+    """Mix every signal in a [B, S] batch with an independent colored-noise
+    realization at a random SNR — the on-device equivalent of
+    ``add_noise`` (noise.py:70-128) + the offline corpus pass
+    (noise_util.py:23-49).
+
+    SNR is drawn from the integers snr_db_range[0]..snr_db_range[1]
+    (noise.py:96) and alpha from the 0.1 grid over alpha_range (noise.py:100).
+    """
+    b, s = signals.shape
+    keys = jax.random.split(key, 3)
+    snr = jax.random.randint(keys[0], (b,), snr_db_range[0], snr_db_range[1] + 1)
+    n_alpha = int(round((alpha_range[1] - alpha_range[0]) / 0.1)) + 1
+    alpha = alpha_range[0] + 0.1 * jax.random.randint(keys[1], (b,), 0, n_alpha)
+
+    def one(k, sig, snr_i, alpha_i, len_i):
+        noise = color_noise(k, s, alpha_i.astype(jnp.float32))
+        gain = snr_to_gain(sig, noise, snr_i.astype(jnp.float32), len_i)
+        mixed = sig + gain * noise
+        if len_i is not None:
+            mixed = mixed * (jnp.arange(s) < len_i).astype(mixed.dtype)
+        return mixed.astype(jnp.float32)
+
+    noise_keys = jax.random.split(keys[2], b)
+    if lengths is None:
+        return jax.vmap(lambda k, x, si, ai: one(k, x, si, ai, None))(
+            noise_keys, signals, snr, alpha)
+    return jax.vmap(one)(noise_keys, signals, snr, alpha, lengths)

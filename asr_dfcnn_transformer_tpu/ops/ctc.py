@@ -1,0 +1,101 @@
+"""CTC loss as a log-space ``lax.scan`` forward algorithm.
+
+TPU-native replacement for ``tf.nn.ctc_loss_v2`` as used by the reference
+acoustic models (``lm_and_am/model/acoustic_model.py:75-80``), including the
+``blank_index = vocab - 1`` convention (the '_' symbol appended last to the
+acoustic vocabulary). Works on dense padded labels — no sparse tensors — and
+is differentiable through the scan.
+
+The whole computation is static-shape: batch [B, T, V] logits with per-item
+valid lengths, labels padded to a fixed max; extended-label state is
+[B, 2*Lmax+1]. Alpha updates freeze once ``t >= logit_length`` so padded
+frames contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _logaddexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, _NEG_INF / 2)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe))
+    return jnp.where(m <= _NEG_INF / 2, _NEG_INF, out)
+
+
+@functools.partial(jax.jit, static_argnames=("blank_id", "logits_are_log_probs"))
+def ctc_loss(logits: jnp.ndarray,
+             logit_lengths: jnp.ndarray,
+             labels: jnp.ndarray,
+             label_lengths: jnp.ndarray,
+             blank_id: int = -1,
+             logits_are_log_probs: bool = False) -> jnp.ndarray:
+    """Per-example negative log likelihood, shape [B].
+
+    Args:
+      logits: [B, T, V] raw logits (log_softmax applied internally), or
+        already-normalized log-probs if ``logits_are_log_probs``.
+      logit_lengths: [B] valid frame counts (<= T).
+      labels: [B, L] dense label ids, zero/any padding past ``label_lengths``.
+      label_lengths: [B] true label lengths.
+      blank_id: blank class id; -1 means V-1 (reference convention,
+        acoustic_model.py:76).
+    """
+    b, t, v = logits.shape
+    l = labels.shape[1]
+    blank = blank_id % v
+
+    lp = logits if logits_are_log_probs else jax.nn.log_softmax(logits, axis=-1)
+    lp = lp.astype(jnp.float32)
+
+    # Extended label sequence: blank, y1, blank, y2, ..., blank  [B, S=2L+1]
+    s = 2 * l + 1
+    ext = jnp.full((b, s), blank, dtype=labels.dtype)
+    ext = ext.at[:, 1::2].set(labels)
+    pos = jnp.arange(s)[None, :]
+    valid_ext = pos < (2 * label_lengths[:, None] + 1)
+
+    # skip transition allowed into position s: s>=2, ext[s] != blank,
+    # ext[s] != ext[s-2]
+    ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    can_skip = (pos >= 2) & (ext != blank) & (ext != ext_m2)
+
+    def emit(t_idx):
+        # [B, S] log prob of emitting ext symbol at time t
+        return jnp.take_along_axis(lp[:, t_idx, :], ext, axis=1)
+
+    alpha0 = jnp.full((b, s), _NEG_INF)
+    alpha0 = alpha0.at[:, 0].set(lp[:, 0, blank])
+    has_label = label_lengths > 0
+    alpha0 = alpha0.at[:, 1].set(
+        jnp.where(has_label, jnp.take_along_axis(
+            lp[:, 0, :], ext[:, 1:2], axis=1)[:, 0], _NEG_INF))
+    alpha0 = jnp.where(valid_ext, alpha0, _NEG_INF)
+
+    def step(alpha, t_idx):
+        prev1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=_NEG_INF)[:, :s]
+        prev2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=_NEG_INF)[:, :s]
+        prev2 = jnp.where(can_skip, prev2, _NEG_INF)
+        new = _logaddexp3(alpha, prev1, prev2) + emit(t_idx)
+        new = jnp.where(valid_ext, new, _NEG_INF)
+        # freeze once past this item's valid frames
+        active = (t_idx < logit_lengths)[:, None]
+        return jnp.where(active, new, alpha), None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t))
+
+    # total log prob = alpha[2*len] (+) alpha[2*len - 1]
+    idx_last = 2 * label_lengths
+    a_last = jnp.take_along_axis(alpha, idx_last[:, None], axis=1)[:, 0]
+    idx_prev = jnp.maximum(idx_last - 1, 0)
+    a_prev = jnp.take_along_axis(alpha, idx_prev[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(has_label, a_prev, _NEG_INF)
+    total = jnp.logaddexp(a_last, a_prev)
+    return -total
