@@ -25,8 +25,10 @@ _NEG_INF = -1e30
 def _logaddexp3(a, b, c):
     m = jnp.maximum(jnp.maximum(a, b), c)
     m_safe = jnp.maximum(m, _NEG_INF / 2)
-    out = m_safe + jnp.log(
-        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe))
+    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    # clamp keeps log finite when every input is -inf so the dead branch of
+    # the outer where doesn't poison gradients with 0 * inf = NaN
+    out = m_safe + jnp.log(jnp.maximum(s, 1e-37))
     return jnp.where(m <= _NEG_INF / 2, _NEG_INF, out)
 
 

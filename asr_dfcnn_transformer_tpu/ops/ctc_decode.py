@@ -67,13 +67,15 @@ def ctc_greedy_decode(logits: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "topk", "blank_id", "max_decode_len"))
+    static_argnames=("beam_width", "topk", "blank_id", "max_decode_len",
+                     "return_all"))
 def ctc_beam_search_decode(logits: jnp.ndarray,
                            logit_lengths: jnp.ndarray,
                            beam_width: int = 8,
                            topk: int = 8,
                            blank_id: int = -1,
-                           max_decode_len: int = 64):
+                           max_decode_len: int = 64,
+                           return_all: bool = False):
     """Vectorized CTC prefix beam search.
 
     Args:
@@ -142,7 +144,8 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
         cid_u = c_ids.astype(jnp.uint32) + jnp.uint32(2)
         ext_h1 = h1[..., None] * mul1 + cid_u
         ext_h2 = h2[..., None] * mul2 + cid_u
-        ext_len = jnp.minimum(plen[..., None] + 1, lcap)
+        ext_len = jnp.broadcast_to(
+            jnp.minimum(plen[..., None] + 1, lcap), (b, w, k))
 
         # ---- assemble candidate arrays [B, M] ----
         cand_pb = jnp.concatenate([stay_pb, ext_pb.reshape(b, -1)], axis=1)
@@ -217,6 +220,8 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
         step, state0, jnp.arange(t))
 
     total = jnp.logaddexp(pb, pnb)
+    if return_all:
+        return prefixes, plen, total
     best = jnp.argmax(total, axis=1)
     take = lambda arr: jnp.take_along_axis(
         arr, best[:, None, None] if arr.ndim == 3 else best[:, None],

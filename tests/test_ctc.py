@@ -1,0 +1,175 @@
+import numpy as np
+import optax
+import pytest
+
+from asr_dfcnn_transformer_tpu import ops
+from tests import golden
+
+
+def _random_problem(rng, b=4, t=30, v=12, lmax=8):
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    logit_len = rng.integers(lmax + 2, t + 1, size=b).astype(np.int32)
+    label_len = rng.integers(1, lmax + 1, size=b).astype(np.int32)
+    labels = rng.integers(0, v - 1, size=(b, lmax)).astype(np.int32)  # no blank
+    return logits, logit_len, labels, label_len
+
+
+def test_ctc_loss_matches_golden_dp():
+    rng = np.random.default_rng(0)
+    logits, logit_len, labels, label_len = _random_problem(rng)
+    loss = np.asarray(ops.ctc_loss(logits, logit_len, labels, label_len,
+                                   blank_id=-1))
+    for i in range(len(loss)):
+        lp = np.log(np.exp(logits[i]) / np.exp(logits[i]).sum(-1, keepdims=True))
+        want = golden.ctc_loss_np(lp[: logit_len[i]],
+                                  list(labels[i][: label_len[i]]),
+                                  blank=logits.shape[-1] - 1)
+        np.testing.assert_allclose(loss[i], want, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_loss_matches_optax_blank_zero():
+    """optax.ctc_loss uses blank_id semantics directly — cross-check."""
+    rng = np.random.default_rng(1)
+    logits, logit_len, labels, label_len = _random_problem(rng, v=10)
+    b, t, v = logits.shape
+    ours = np.asarray(ops.ctc_loss(logits, logit_len, labels, label_len,
+                                   blank_id=0))
+    # optax wants labels >= 1 when blank=0? It takes labels as class ids and
+    # blank_id param; paddings are 1.0 at padded positions.
+    logit_pad = (np.arange(t)[None, :] >= logit_len[:, None]).astype(np.float32)
+    lmax = labels.shape[1]
+    label_pad = (np.arange(lmax)[None, :] >= label_len[:, None]).astype(np.float32)
+    # replace any accidental blank-0 labels with 1 for a fair comparison
+    labels2 = np.where(labels == 0, 1, labels)
+    ours = np.asarray(ops.ctc_loss(logits, logit_len, labels2, label_len,
+                                   blank_id=0))
+    theirs = np.asarray(optax.ctc_loss(logits, logit_pad, labels2, label_pad,
+                                       blank_id=0))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_loss_gradient_finite():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(2)
+    logits, logit_len, labels, label_len = _random_problem(rng, b=2, t=12, v=6,
+                                                           lmax=4)
+    f = lambda lg: jnp.sum(ops.ctc_loss(lg, logit_len, labels, label_len))
+    g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+    assert np.isfinite(g).all()
+    # numerical check on a few coordinates
+    eps = 1e-3
+    for (i, t_, v_) in [(0, 0, 0), (1, 5, 3)]:
+        lp = logits.copy(); lp[i, t_, v_] += eps
+        lm = logits.copy(); lm[i, t_, v_] -= eps
+        num = (float(f(lp)) - float(f(lm))) / (2 * eps)
+        np.testing.assert_allclose(g[i, t_, v_], num, rtol=2e-2, atol=2e-3)
+
+
+def test_greedy_decode_collapses():
+    v, blank = 7, 6
+    t = 10
+    # frame path: a a _ a b b _ _ c c  -> a a b c
+    path = [0, 0, blank, 0, 1, 1, blank, blank, 2, 2]
+    logits = np.full((1, t, v), -5.0, np.float32)
+    for i, c in enumerate(path):
+        logits[0, i, c] = 5.0
+    ids, lens = ops.ctc_greedy_decode(logits, np.array([t]), blank_id=blank)
+    assert int(lens[0]) == 4
+    assert list(np.asarray(ids[0][:4])) == [0, 0, 1, 2]
+
+
+def test_greedy_decode_respects_length():
+    v, blank = 5, 4
+    logits = np.full((1, 6, v), -5.0, np.float32)
+    for i in range(6):
+        logits[0, i, i % 3] = 5.0  # 0 1 2 0 1 2
+    ids, lens = ops.ctc_greedy_decode(logits, np.array([3]))
+    assert int(lens[0]) == 3
+    assert list(np.asarray(ids[0][:3])) == [0, 1, 2]
+
+
+def test_beam_matches_greedy_on_peaked():
+    rng = np.random.default_rng(3)
+    b, t, v = 3, 25, 20
+    # strongly peaked lattices: beam must agree with greedy
+    logits = rng.standard_normal((b, t, v)).astype(np.float32) * 0.1
+    peaks = rng.integers(0, v, size=(b, t))
+    for i in range(b):
+        logits[i, np.arange(t), peaks[i]] += 12.0
+    lens = np.array([t, t - 5, t - 10], dtype=np.int32)
+    gids, glens = ops.ctc_greedy_decode(logits, lens, blank_id=-1)
+    bids, blens, _ = ops.ctc_beam_search_decode(logits, lens, beam_width=4,
+                                               topk=4, max_decode_len=t)
+    for i in range(b):
+        assert int(blens[i]) == int(glens[i])
+        assert list(np.asarray(bids[i][: int(blens[i])])) == \
+            list(np.asarray(gids[i][: int(glens[i])]))
+
+
+def test_beam_beats_greedy_on_ambiguous():
+    """Classic case: p(blank)=.6 each frame, p(a)=.4; best path is blank-blank
+    (greedy -> empty) but total p(a) over alignments = .4*.6+.6*.4+.4*.4=.64
+    > p(empty)=.36 — prefix beam search must return [a]."""
+    v, blank = 2, 1
+    p = np.array([[0.4, 0.6], [0.4, 0.6]], dtype=np.float32)
+    logits = np.log(p)[None]
+    gids, glens = ops.ctc_greedy_decode(logits, np.array([2]), blank_id=blank)
+    assert int(glens[0]) == 0
+    bids, blens, nlp = ops.ctc_beam_search_decode(
+        logits, np.array([2]), beam_width=4, topk=2, blank_id=blank,
+        max_decode_len=4)
+    assert int(blens[0]) == 1
+    assert int(bids[0][0]) == 0
+    np.testing.assert_allclose(float(nlp[0]), -np.log(0.64), rtol=1e-4)
+
+
+def test_beam_merges_duplicate_prefixes():
+    """Probability of the best prefix must aggregate all alignments."""
+    v, blank = 3, 2
+    # 3 frames; symbol a=0 dominant; p(a)=.5, p(blank)=.3, p(b)=.2
+    p = np.tile(np.array([0.5, 0.2, 0.3], np.float32), (3, 1))
+    logits = np.log(p)[None]
+    bids, blens, nlp = ops.ctc_beam_search_decode(
+        logits, np.array([3]), beam_width=8, topk=3, blank_id=blank,
+        max_decode_len=4)
+    # enumerate exactly: P(prefix [a]) over 3 frames = sum over alignments
+    # (a,a,a),(a,a,_),(a,_,_),(_,a,_),(_,_,a),(_,a,a),(a,_,... ) etc.
+    from itertools import product
+    total = 0.0
+    for path in product([0, 1, 2], repeat=3):
+        # collapse
+        out = []
+        prev = None
+        for c in path:
+            if c != blank and c != prev:
+                out.append(c)
+            prev = c
+        if out == [0]:
+            total += np.prod([p[i, c] for i, c in enumerate(path)])
+    np.testing.assert_allclose(np.exp(-float(nlp[0])), total, rtol=1e-4)
+    assert int(blens[0]) == 1 and int(bids[0][0]) == 0
+
+
+def test_edit_distance_batched_vs_python():
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        la, lb = rng.integers(1, 10, size=2)
+        a = rng.integers(0, 5, size=la)
+        b = rng.integers(0, 5, size=lb)
+        want = ops.edit_distance(list(a), list(b))
+        assert want == golden.edit_distance_np(list(a), list(b))
+        ap = np.zeros((1, 12), np.int32); ap[0, :la] = a
+        bp = np.zeros((1, 12), np.int32); bp[0, :lb] = b
+        got = int(ops.batched_edit_distance(ap, np.array([la]), bp,
+                                            np.array([lb]))[0])
+        assert got == want
+
+
+def test_edit_distance_empty():
+    ap = np.zeros((2, 4), np.int32)
+    bp = np.zeros((2, 4), np.int32)
+    bp[0, :3] = [1, 2, 3]
+    d = np.asarray(ops.batched_edit_distance(ap, np.array([0, 0]), bp,
+                                             np.array([3, 0])))
+    assert list(d) == [3, 0]
