@@ -1,0 +1,66 @@
+"""Jointly trained AM -> LM model.
+
+The reference's ``lm_and_am/model/am_lm_model.py`` represents this
+capability but is broken as written (it reads ``self.am_out`` which is
+never assigned, am_lm_model.py:87; its trainer references undefined
+tensors, am_lm_train.py:97-110). This is the working re-design: one train
+step computes
+
+  loss = CTC(AM logits, pinyin) + CE(LM(greedy_decode(AM logits)), hanzi)
+
+i.e. the LM trains on the AM's actual (noisy) greedy pinyin output instead
+of gold pinyin — the evident intent of the reference's in-graph decode
+(am_lm_model.py:79-80) — with a stop-gradient at the decode boundary
+(decode is non-differentiable; the reference's second CTC loss had the same
+property).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from asr_dfcnn_transformer_tpu.models.dfcnn import SEDFCNN, logit_lengths
+from asr_dfcnn_transformer_tpu.models.transformer_lm import (
+    TransformerLM,
+    lm_loss_and_acc,
+)
+from asr_dfcnn_transformer_tpu.ops import ctc_loss, ctc_greedy_decode
+
+
+class AMLMJoint(nn.Module):
+    acoustic_vocab_size: int
+    language_vocab_size: int
+    lm_position_max_length: int = 100
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.am = SEDFCNN(self.acoustic_vocab_size, dtype=self.dtype)
+        self.lm = TransformerLM(
+            self.acoustic_vocab_size, self.language_vocab_size,
+            position_max_length=self.lm_position_max_length, dtype=self.dtype)
+
+    def __call__(self, feats, frame_lengths, pinyin, pinyin_lengths,
+                 hanzi, train: bool = False) -> Dict[str, Any]:
+        am_logits = self.am(feats, train)
+        in_len = logit_lengths(frame_lengths, am_logits.shape[1])
+        am_loss = jnp.mean(ctc_loss(am_logits, in_len, pinyin,
+                                    pinyin_lengths, blank_id=-1))
+        # decode boundary: non-differentiable, truncate/pad to LM length
+        dec, dec_len = ctc_greedy_decode(jax.lax.stop_gradient(am_logits),
+                                         in_len, blank_id=-1)
+        l = hanzi.shape[1]
+        dec = dec[:, :l]
+        lm_logits = self.lm(dec, train)
+        lm_loss, lm_acc = lm_loss_and_acc(lm_logits, hanzi)
+        return {
+            "loss": am_loss + lm_loss,
+            "am_loss": am_loss,
+            "lm_loss": lm_loss,
+            "lm_acc": lm_acc,
+            "am_logits": am_logits,
+            "decoded_pinyin": dec,
+        }

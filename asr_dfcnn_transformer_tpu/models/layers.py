@@ -1,0 +1,223 @@
+"""Shared Flax building blocks.
+
+TPU-first re-designs of the reference's op library
+(``end2end/transformer.py:4-344``) and CNN components
+(``lm_and_am/model/acoustic_model2.py:101-151``):
+
+- convolutions run in NHWC with bfloat16 compute / float32 params (MXU),
+- attention is einsum-based with proper [B, H, T, Dh] head layout instead of
+  the reference's batch-dim split (``transformer.py:144-146``),
+- masks come from token ids / lengths instead of embedding-sum signs
+  (``transformer.py:64-68``) — numerically equivalent given row-0
+  zero-padded embeddings, but robust and free of reductions,
+- the reference's nonstandard ReLU-activated bias-free Q/K/V projections
+  (``transformer.py:139-141``) are kept behind ``parity_attention`` so
+  weight-parity runs reproduce them while fresh training can use standard
+  linear projections.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+_BIG_NEG = -1e9
+
+
+class ConvBnCell(nn.Module):
+    """Conv3x3(+ReLU) then BatchNorm (the reference's layer order:
+    activation inside the conv, BN after — acoustic_model2.py:107-113,127),
+    optional 2x2 pooling.
+
+    ``pool_type``: 'max' (Keras cnn_ctc.py:133) or 'avg' (the SE models'
+    "maxpool" that actually average-pools, acoustic_model2.py:115-117).
+    """
+
+    features: int
+    pool: bool = False
+    pool_type: str = "max"
+    nin: bool = False           # 1x1 network-in-network insert (acoustic_model.py:49)
+    nin_features: int = 32
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        if self.nin:
+            x = nn.Conv(self.nin_features, (1, 1), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        if self.pool:
+            window = (2, 2)
+            if self.pool_type == "max":
+                x = nn.max_pool(x, window, strides=window)
+            else:
+                x = nn.avg_pool(x, window, strides=window)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    """Squeeze-excitation channel gate (acoustic_model2.py:141-148):
+    BN -> global average pool -> Dense(c/ratio) relu -> Dense(c) sigmoid ->
+    channel-scale."""
+
+    features: int
+    ratio: int = 2
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        squeeze = jnp.mean(x, axis=(1, 2), keepdims=True)
+        e = nn.Dense(max(self.features // self.ratio, 1), dtype=self.dtype)(squeeze)
+        e = nn.relu(e)
+        e = nn.Dense(self.features, dtype=self.dtype)(e)
+        e = nn.sigmoid(e)
+        return x * e
+
+
+class ScaledEmbed(nn.Module):
+    """Token embedding with optional sqrt(d) scaling and a zeroed PAD row
+    (transformer.py:30-55 'zero_pad' + 'scale')."""
+
+    vocab_size: int
+    features: int
+    scale: bool = True
+    zero_pad: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, ids):
+        table = self.param(
+            "embedding", nn.initializers.normal(stddev=1.0 / jnp.sqrt(self.features)),
+            (self.vocab_size, self.features), jnp.float32)
+        if self.zero_pad:
+            table = table.at[0].set(0.0)
+        out = jnp.take(table, ids, axis=0).astype(self.dtype)
+        if self.scale:
+            out = out * jnp.asarray(self.features ** 0.5, self.dtype)
+        return out
+
+
+class LearnedPositionEmbed(nn.Module):
+    """Learned absolute position embedding, capped at ``max_length``
+    (language_model.py:29-30 — the reference faults beyond the cap; we clip
+    indices so longer inputs degrade instead of crashing, documented
+    deviation)."""
+
+    max_length: int
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, length: int):
+        table = self.param("embedding", nn.initializers.normal(stddev=0.02),
+                           (self.max_length, self.features), jnp.float32)
+        idx = jnp.minimum(jnp.arange(length), self.max_length - 1)
+        return jnp.take(table, idx, axis=0).astype(self.dtype)
+
+
+def attention_mask(q_valid: jnp.ndarray, k_valid: jnp.ndarray,
+                   causal: bool = False) -> jnp.ndarray:
+    """Build an additive [B, 1, Tq, Tk] mask from boolean validity vectors.
+
+    Replaces the reference's embedding-sum key masks + tril future mask
+    (transformer.py:58-86).
+    """
+    mask = k_valid[:, None, None, :]
+    if causal:
+        tq, tk = q_valid.shape[-1], k_valid.shape[-1]
+        tri = jnp.tril(jnp.ones((tq, tk), jnp.bool_))
+        mask = mask & tri[None, None, :, :]
+    return jnp.where(mask, 0.0, _BIG_NEG)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head scaled dot-product attention with residual + LayerNorm.
+
+    ``parity``: reproduce the reference's ReLU-activated, bias-free Q/K/V
+    projections (transformer.py:139-141); otherwise standard linear ones.
+    Head split is a proper reshape to [B, H, T, Dh]; softmax in float32.
+    """
+
+    d_model: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    parity: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, queries, keys, values=None, *, mask=None,
+                 deterministic: bool = True):
+        if values is None:
+            values = keys
+        b, tq, _ = queries.shape
+        tk = keys.shape[1]
+        h, dh = self.num_heads, self.d_model // self.num_heads
+
+        def proj(x, name):
+            y = nn.Dense(self.d_model, use_bias=not self.parity,
+                         dtype=self.dtype, name=name)(x)
+            return nn.relu(y) if self.parity else y
+
+        q = proj(queries, "q").reshape(b, tq, h, dh).transpose(0, 2, 1, 3)
+        k = proj(keys, "k").reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
+        v = proj(values, "v").reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        if mask is not None:
+            scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
+        if not self.parity:
+            out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)
+        out = out + queries  # residual (transformer.py:151)
+        return nn.LayerNorm(dtype=self.dtype)(out)
+
+
+class FeedForward(nn.Module):
+    """Position-wise FFN: two 1x1 projections (inner 4*d_model ReLU) with
+    residual + LayerNorm (transformer.py:204-231)."""
+
+    d_model: int
+    inner: Optional[int] = None
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        inner = self.inner or 4 * self.d_model
+        y = nn.Dense(inner, dtype=self.dtype)(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype)(y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = y + x
+        return nn.LayerNorm(dtype=self.dtype)(y)
+
+
+def label_smoothing(one_hot: jnp.ndarray, epsilon: float = 0.1) -> jnp.ndarray:
+    """Uniform label smoothing (transformer.py:332-340)."""
+    v = one_hot.shape[-1]
+    return (1.0 - epsilon) * one_hot + epsilon / v
+
+
+def shift_right(ids: jnp.ndarray, bos: int) -> jnp.ndarray:
+    """Decoder-input shift: prepend BOS, drop last (transformer.py:342-344)."""
+    return jnp.concatenate(
+        [jnp.full_like(ids[:, :1], bos), ids[:, :-1]], axis=1)
