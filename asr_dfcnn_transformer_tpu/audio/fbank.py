@@ -46,6 +46,11 @@ class FbankConfig:
     preemph: float = 0.97
     low_freq: float = 0.0
     high_freq: float | None = None  # None -> sample_rate / 2
+    # Compute |rfft|^2 as two real matmuls against precomputed DFT bases
+    # instead of an FFT op: mathematically identical, but the matmuls ride
+    # the MXU — ~7x faster than XLA's TPU FFT at these sizes (512-pt over
+    # 51k frames). Set False to use jnp.fft.rfft.
+    use_dft_matmul: bool = True
 
 
 def num_frames(num_samples: int, cfg: FbankConfig = FbankConfig()) -> int:
@@ -101,7 +106,23 @@ def _frame(signal: jnp.ndarray, n_frames: int, cfg: FbankConfig) -> jnp.ndarray:
     return sig[idx]
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_bases_np(win_len: int, nfft: int):
+    """Real/imag DFT bases [win_len, nfft//2+1] such that
+    frames @ C + i * frames @ S == rfft(frames, nfft) for frames of
+    length win_len (the implicit zero padding costs nothing here)."""
+    n = np.arange(win_len)[:, None]
+    k = np.arange(nfft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / nfft
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
 def _power_spectrum(frames: jnp.ndarray, cfg: FbankConfig) -> jnp.ndarray:
+    if cfg.use_dft_matmul:
+        cos_b, sin_b = _dft_bases_np(cfg.win_len, cfg.nfft)
+        re = frames @ jnp.asarray(cos_b)
+        im = frames @ jnp.asarray(sin_b)
+        return (re * re + im * im) / cfg.nfft
     spec = jnp.fft.rfft(frames, n=cfg.nfft, axis=-1)
     return (spec.real ** 2 + spec.imag ** 2) / cfg.nfft
 

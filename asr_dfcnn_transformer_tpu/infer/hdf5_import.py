@@ -1,0 +1,112 @@
+"""Keras .hdf5 -> Flax weight importer for the DFCNN acoustic model.
+
+The reference ships its best acoustic models as Keras weight files —
+``model_05.7.64.hdf5`` (5-corpus) and ``model_04-14.91.hdf5``
+(noise-augmented) (README.md:21-23), loaded at ``cnn_ctc.py:85-86`` /
+``read_wav.py:98-101``. This maps those weights onto
+:class:`models.KerasDFCNN` (same layer graph: 5 double-conv cells with BN,
+Dense 128, Dense vocab — ``cnn_ctc.py:27-49``) for bit-parity inference.
+
+Layout facts used:
+- Keras HDF5 stores per-layer groups under ``model_weights`` with weight
+  names like ``conv2d_3/kernel:0``; layers are ordered by the
+  ``layer_names``/``weight_names`` attrs.
+- Keras Conv2D kernels are [H, W, in, out] — identical to flax nn.Conv.
+- Keras BatchNormalization stores gamma/beta/moving_mean/moving_variance ->
+  flax params.scale/params.bias + batch_stats.mean/batch_stats.var.
+- Keras Dense kernels are [in, out] — identical to flax nn.Dense.
+- The Keras model's softmax output activation is dropped: our head emits
+  raw logits, and softmax is monotone per frame so greedy decode is
+  unchanged, while the beam decoder applies its own log_softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def _collect_layers(h5) -> Dict[str, List[np.ndarray]]:
+    """Return {layer_name: [arrays in stored order]} from a Keras weights
+    file (handles both 'model_weights' wrappers and flat files)."""
+    root = h5["model_weights"] if "model_weights" in h5 else h5
+    out = {}
+
+    def attr_names(g, key):
+        names = g.attrs.get(key)
+        if names is None:
+            return None
+        return [n.decode() if isinstance(n, bytes) else n for n in names]
+
+    layer_names = attr_names(root, "layer_names")
+    if layer_names is None:
+        layer_names = list(root.keys())
+    for lname in layer_names:
+        g = root[lname]
+        wnames = attr_names(g, "weight_names")
+        if wnames is None:
+            # walk nested group
+            wnames = []
+            def walk(gg, prefix=""):
+                for k in gg:
+                    item = gg[k]
+                    if hasattr(item, "shape"):
+                        wnames.append(prefix + k)
+                    else:
+                        walk(item, prefix + k + "/")
+            walk(g)
+        if wnames:
+            out[lname] = [np.asarray(g[w]) for w in wnames]
+    return out
+
+
+def load_keras_dfcnn_hdf5(path: str, vocab_size: int,
+                          dense_units: int = 128):
+    """Load a cnn_ctc-layout Keras weight file into KerasDFCNN variables.
+
+    Returns a flax variables dict {'params': ..., 'batch_stats': ...}
+    ready for ``models.KerasDFCNN(vocab_size).apply(...)``.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        layers = _collect_layers(f)
+
+    convs = [layers[k] for k in sorted(
+        (k for k in layers if k.startswith("conv2d")),
+        key=lambda k: int(k.split("_")[-1]) if k[-1].isdigit() else -1)]
+    bns = [layers[k] for k in sorted(
+        (k for k in layers if k.startswith("batch_normalization")),
+        key=lambda k: int(k.split("_")[-1]) if k[-1].isdigit() else -1)]
+    denses = [layers[k] for k in sorted(
+        (k for k in layers if k.startswith("dense")),
+        key=lambda k: int(k.split("_")[-1]) if k[-1].isdigit() else -1)]
+    if len(convs) != 10 or len(bns) != 10 or len(denses) < 2:
+        raise ValueError(
+            f"unexpected cnn_ctc layout: {len(convs)} convs, {len(bns)} "
+            f"BNs, {len(denses)} denses (want 10/10/2)")
+
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for i in range(10):
+        kernel, bias = convs[i][0], convs[i][1]
+        gamma, beta, mean, var = bns[i]
+        cell = f"ConvBnCell_{i}"
+        params[cell] = {
+            "Conv_0": {"kernel": kernel, "bias": bias},
+            "BatchNorm_0": {"scale": gamma, "bias": beta},
+        }
+        batch_stats[cell] = {
+            "BatchNorm_0": {"mean": mean, "var": var},
+        }
+    params["Dense_0"] = {"kernel": denses[0][0], "bias": denses[0][1]}
+    params["Dense_1"] = {"kernel": denses[1][0], "bias": denses[1][1]}
+    out_dim = denses[1][0].shape[1]
+    if out_dim != vocab_size:
+        raise ValueError(f"checkpoint vocab {out_dim} != expected "
+                         f"{vocab_size}")
+    if denses[0][0].shape[1] != dense_units:
+        raise ValueError(f"checkpoint dense width {denses[0][0].shape[1]} "
+                         f"!= expected {dense_units}")
+    return {"params": params, "batch_stats": batch_stats}

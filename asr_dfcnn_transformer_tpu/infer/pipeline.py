@@ -1,0 +1,204 @@
+"""Batched AM -> LM inference pipeline and the accuracy-eval protocol.
+
+The TPU-native replacement for the reference's evaluation driver
+(``lm_and_am/test.py``). The reference runs TWO tf sessions, per-utterance:
+CPU fbank -> AM session -> sparse-to-dense in the LM session (test.py:51) ->
+LM session (test.py:25-101). Here the whole chain — device-side fbank,
+DFCNN forward, CTC decode, Transformer LM argmax — is ONE jitted program
+over a batch, so throughput is bounded by the MXU and not Python
+round-trips; this is the BASELINE.json north-star path.
+
+Accuracy protocol parity (test.py:74-95):
+- per-utterance edit distance CLIPPED at the reference length ("否则肯定
+  是增加了一堆乱七八糟的奇奇怪怪的字" — distances larger than the
+  sentence length count as the full length),
+- accuracy = 1 - sum(clipped distance) / sum(ref length), reported for
+  pinyin and hanzi,
+- a ``pred_log`` dump with per-utterance original/predicted pinyin & hanzi
+  (test.py:68-72, 96-97).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_dfcnn_transformer_tpu.audio import batched_fbank
+from asr_dfcnn_transformer_tpu.audio.fbank import FbankConfig
+from asr_dfcnn_transformer_tpu.core import constants
+from asr_dfcnn_transformer_tpu.core.vocab import Vocab
+from asr_dfcnn_transformer_tpu.models import logit_lengths
+from asr_dfcnn_transformer_tpu.ops import ctc_beam_search_decode, ctc_greedy_decode
+from asr_dfcnn_transformer_tpu.ops.edit_distance import edit_distance
+
+
+@dataclasses.dataclass
+class EvalResult:
+    pinyin_accuracy: float
+    hanzi_accuracy: float
+    num_utterances: int
+    pred_log_path: Optional[str] = None
+
+
+class Pipeline:
+    """AM (fbank->pinyin CTC) + LM (pinyin->hanzi) fused inference.
+
+    Args:
+      am_model / am_variables: a DFCNN-family Flax module + its variables.
+      lm_model / lm_variables: TransformerLM + variables (optional; without
+        an LM only pinyin comes back).
+      decode: 'greedy' (tf.nn.ctc_greedy_decoder parity) or 'beam'.
+    """
+
+    def __init__(self, am_model, am_variables, lm_model=None,
+                 lm_variables=None, *, acoustic_vocab: Vocab,
+                 language_vocab: Optional[Vocab] = None,
+                 feature_dim: int = 200, decode: str = "greedy",
+                 beam_width: int = 8,
+                 lm_max_len: int = constants.MAX_LABEL_LENGTH):
+        self.am_model = am_model
+        self.am_variables = am_variables
+        self.lm_model = lm_model
+        self.lm_variables = lm_variables
+        self.av = acoustic_vocab
+        self.lv = language_vocab
+        self.fbank_cfg = FbankConfig(nfilt=feature_dim)
+        self.decode = decode
+        self.beam_width = beam_width
+        self.lm_max_len = lm_max_len
+        self._infer = self._build_infer()
+
+    def _build_infer(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",))
+        def run(signals, signal_lengths, bucket_frames):
+            feats, _ = batched_fbank(signals, signal_lengths,
+                                     cfg=self.fbank_cfg,
+                                     out_frames=bucket_frames)
+            logits = self.am_model.apply(self.am_variables, feats[..., None],
+                                         train=False)
+            in_len = logit_lengths(signal_lengths // 160, logits.shape[1])
+            if self.decode == "beam":
+                pny_ids, pny_len, _ = ctc_beam_search_decode(
+                    logits, in_len, beam_width=self.beam_width,
+                    topk=self.beam_width, blank_id=-1,
+                    max_decode_len=self.lm_max_len)
+            else:
+                pny_ids, pny_len = ctc_greedy_decode(logits, in_len,
+                                                     blank_id=-1)
+                pny_ids = pny_ids[:, : self.lm_max_len]
+                pny_len = jnp.minimum(pny_len, self.lm_max_len)
+            han_ids = None
+            if self.lm_model is not None:
+                # the reference feeds the decoded dense pinyin ids straight
+                # into the LM (test.py:57-60); padding id 0 = PAD
+                lm_logits = self.lm_model.apply(self.lm_variables, pny_ids,
+                                                train=False)
+                han_ids = jnp.argmax(lm_logits, axis=-1).astype(jnp.int32)
+                han_ids = jnp.where(
+                    jnp.arange(han_ids.shape[1])[None, :] < pny_len[:, None],
+                    han_ids, 0)
+            return pny_ids, pny_len, han_ids
+
+        return run
+
+    # ------------------------------------------------------------------
+
+    def recognize_batch(self, signals: np.ndarray, lengths: np.ndarray,
+                        bucket_frames: int = constants.FEATURE_MAX_LENGTH):
+        """signals [B, S] float32, lengths [B] -> (pinyin id array [B, L],
+        pinyin lengths [B], hanzi id array or None)."""
+        return self._infer(jnp.asarray(signals), jnp.asarray(lengths),
+                           bucket_frames)
+
+    def recognize_signal(self, signal: np.ndarray,
+                         bucket_frames: Optional[int] = None
+                         ) -> Tuple[List[str], str]:
+        """Single utterance -> (pinyin syllables, hanzi string) — the
+        read_wav.py dfcnn_speech capability (read_wav.py:46-57)."""
+        n = len(signal)
+        if bucket_frames is None:
+            frames = max(1, 1 + (n - 400 + 159) // 160)
+            bucket_frames = min(constants.FEATURE_MAX_LENGTH,
+                                ((frames + 127) // 128) * 128)
+        s_max = (bucket_frames - 1) * 160 + 400
+        buf = np.zeros((1, s_max), np.float32)
+        buf[0, : min(n, s_max)] = signal[: s_max]
+        pny_ids, pny_len, han_ids = self.recognize_batch(
+            buf, np.array([min(n, s_max)]), bucket_frames)
+        k = int(pny_len[0])
+        pinyin = self.av.decode(np.asarray(pny_ids[0][:k]))
+        hanzi = ""
+        if han_ids is not None and self.lv is not None:
+            hanzi = "".join(self.lv.decode(np.asarray(han_ids[0][:k])))
+        return pinyin, hanzi
+
+    def recognize_file(self, path: str) -> Tuple[List[str], str]:
+        from asr_dfcnn_transformer_tpu.audio.wav import read_wav
+        sig, _ = read_wav(path)
+        return self.recognize_signal(sig)
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self, batches: Iterable, *, pred_log_path: Optional[str] = None,
+                 manifest=None) -> EvalResult:
+        """The test.py accuracy protocol over AMBatch iterables.
+
+        ``batches``: iterable of data.loader.AMBatch (carrying gt pinyin &
+        hanzi ids). Accuracy = 1 - clipped-edit-distance / ref-length
+        (test.py:74-95).
+        """
+        py_err = py_tot = han_err = han_tot = 0
+        n_utts = 0
+        log_lines: List[str] = []
+        for batch in batches:
+            pny_ids, pny_len, han_ids = self.recognize_batch(
+                batch.signals, batch.signal_lengths, batch.bucket_frames)
+            pny_ids = np.asarray(pny_ids)
+            pny_len = np.asarray(pny_len)
+            han_np = np.asarray(han_ids) if han_ids is not None else None
+            for j in range(pny_ids.shape[0]):
+                if batch.weights[j] == 0:
+                    continue
+                n_utts += 1
+                gt_py = list(batch.pinyin[j][: batch.pinyin_lengths[j]])
+                pred_py = list(pny_ids[j][: pny_len[j]])
+                d = edit_distance(gt_py, pred_py)
+                py_err += min(d, len(gt_py))
+                py_tot += len(gt_py)
+                if han_np is not None:
+                    gt_h = list(batch.hanzi[j][: batch.hanzi_lengths[j]])
+                    pred_h = list(han_np[j][: pny_len[j]])
+                    dh = edit_distance(gt_h, pred_h)
+                    han_err += min(dh, len(gt_h))
+                    han_tot += len(gt_h)
+                if pred_log_path is not None:
+                    gt_py_s = " ".join(self.av.decode(gt_py))
+                    pred_py_s = " ".join(self.av.decode(pred_py))
+                    log_lines.append(f"原文拼音结果: {gt_py_s}")
+                    log_lines.append(f"预测拼音结果: {pred_py_s}")
+                    if han_np is not None and self.lv is not None:
+                        log_lines.append(
+                            "原文汉字结果: "
+                            + "".join(self.lv.decode(gt_h)))
+                        log_lines.append(
+                            "预测汉字结果: "
+                            + "".join(self.lv.decode(pred_h)))
+        py_acc = 1.0 - py_err / max(py_tot, 1)
+        han_acc = 1.0 - han_err / max(han_tot, 1) if han_tot else float("nan")
+        if pred_log_path is not None:
+            log_lines.append(
+                f"*[Test Result] 拼音 word accuracy ratio: {py_acc * 100}%")
+            if han_tot:
+                log_lines.append(
+                    f"*[Test Result] 汉字 word accuracy ratio: {han_acc * 100}%")
+            os.makedirs(os.path.dirname(os.path.abspath(pred_log_path)),
+                        exist_ok=True)
+            with open(pred_log_path, "w", encoding="utf-8") as f:
+                f.write("\n".join(log_lines) + "\n")
+        return EvalResult(py_acc, han_acc, n_utts, pred_log_path)

@@ -1,0 +1,53 @@
+"""Orbax checkpointing with metric-gated "best" saves and auto-resume.
+
+Replaces the reference's two mechanisms (SURVEY.md §5): TF1
+``tf.train.Saver(max_to_keep=5)`` per-epoch checkpoints named by metrics +
+a metric-gated ``final_model.ckpt`` (``train.py:38, 91-96``), and Keras
+.hdf5 weight files. Orbax gives atomic async-capable saves and a
+retention policy; the "best" copy lives in its own subdirectory.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True))
+        self._best_dir = os.path.join(self.directory, "best")
+        self._best_ckpt = ocp.PyTreeCheckpointer()
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def restore_latest(self, template: Any) -> Optional[Any]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step,
+                                 args=ocp.args.StandardRestore(template))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def save_best(self, state: Any) -> None:
+        """Overwrite the metric-gated best checkpoint
+        (final_model.ckpt semantics, train.py:94-96)."""
+        path = os.path.join(self._best_dir, "state")
+        self._best_ckpt.save(path, state, force=True)
+
+    def restore_best(self, template: Any) -> Optional[Any]:
+        path = os.path.join(self._best_dir, "state")
+        if not os.path.exists(path):
+            return None
+        return self._best_ckpt.restore(path, item=template)

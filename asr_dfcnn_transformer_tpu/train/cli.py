@@ -1,0 +1,285 @@
+"""Command-line entry points.
+
+The user surface matching the reference's drivers (``README.md:11-14``):
+
+    python -m asr_dfcnn_transformer_tpu.train.cli am    --workdir W [...]
+    python -m asr_dfcnn_transformer_tpu.train.cli lm    --workdir W [...]
+    python -m asr_dfcnn_transformer_tpu.train.cli atten --workdir W [...]
+    python -m asr_dfcnn_transformer_tpu.train.cli e2e   --workdir W [...]
+    python -m asr_dfcnn_transformer_tpu.train.cli eval  --workdir W [...]
+    python -m asr_dfcnn_transformer_tpu.train.cli infer --workdir W --wav f.wav
+
+replacing ``lm_and_am/train.py`` (AM+LM), ``train_atten.py``
+(CTC-attention), ``end2end/model.py`` (speech transformer), ``test.py``
+(pipeline eval) and ``read_wav.py`` (single-file/streaming inference).
+Unlike the reference's argparse-at-import classes (hparams.py:34,53,72,91)
+flags are parsed once here into the dataclass config tree.
+
+``--synthetic N`` fabricates a tone corpus on the fly so every command runs
+end-to-end without the five Mandarin corpora on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(prog="asr-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--workdir", required=True)
+        sp.add_argument("--data-dir", default=None)
+        sp.add_argument("--speech-root", default=None)
+        sp.add_argument("--noise-root", default="")
+        sp.add_argument("--corpora", default="thchs,aishell,aidatatang,stcmd,prime")
+        sp.add_argument("--synthetic", type=int, default=0,
+                        help="generate N synthetic utterances instead of "
+                             "reading real manifests")
+        sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--epochs", type=int, default=None)
+        sp.add_argument("--lr", type=float, default=None)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--small", action="store_true",
+                        help="tiny model dims (tests / smoke)")
+        sp.add_argument("--platform", default=None,
+                        help="force jax platform (e.g. cpu)")
+
+    for name in ("am", "lm", "atten", "e2e", "eval"):
+        sp = sub.add_parser(name)
+        common(sp)
+        if name == "am":
+            sp.add_argument("--model", default="se_dfcnn",
+                            choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
+                                     "keras_dfcnn", "bigru"])
+            sp.add_argument("--augment-noise", action="store_true")
+        if name == "eval":
+            sp.add_argument("--decode", default="greedy",
+                            choices=["greedy", "beam"])
+            sp.add_argument("--beam-width", type=int, default=8)
+            sp.add_argument("--limit", type=int, default=None)
+
+    sp = sub.add_parser("infer")
+    common(sp)
+    sp.add_argument("--wav", required=True)
+    sp.add_argument("--decode", default="greedy", choices=["greedy", "beam"])
+    return p
+
+
+def _setup_platform(args):
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+
+def _data(args, batch_size, bucket_bounds=(400, 800, 1200, 1600)):
+    from asr_dfcnn_transformer_tpu.core import vocab
+    from asr_dfcnn_transformer_tpu.data import (
+        DataLoader, load_manifests, make_synthetic_corpus)
+
+    if args.synthetic:
+        root = os.path.join(args.workdir, "synthetic")
+        data_dir, wav_root, _, _ = make_synthetic_corpus(
+            root, num_utts=args.synthetic, num_classes=8, seed=args.seed)
+        corpora = ("thchs",)
+    else:
+        data_dir, wav_root = args.data_dir, args.speech_root
+        corpora = tuple(args.corpora.split(","))
+        if data_dir is None:
+            sys.exit("--data-dir required (or use --synthetic N)")
+    av, lv = vocab.acoustic_vocab(), vocab.language_vocab()
+
+    def loader(mode, shuffle):
+        m = load_manifests(data_dir, mode, corpora=corpora, shuffle=shuffle,
+                           seed=args.seed)
+        return DataLoader(m, av, lv, speech_root=wav_root,
+                          noise_root=args.noise_root,
+                          bucket_bounds=bucket_bounds)
+
+    return loader, av, lv
+
+
+def _am_model(name, vocab_size, small, dtype=jnp.bfloat16):
+    from asr_dfcnn_transformer_tpu import models
+    if small:
+        kw = dict(dtype=jnp.float32)
+        if name in ("dfcnn",):
+            return models.DFCNN(vocab_size, **kw)
+        if name == "bigru":
+            return models.BiGRUCTC(vocab_size, hidden=32, num_layers=1, **kw)
+        if name == "keras_dfcnn":
+            return models.KerasDFCNN(vocab_size, dense_units=16, **kw)
+        return models.SEDFCNN(vocab_size, stage_features=(4, 4, 8, 8, 8),
+                              head_features=8,
+                              se_first=(name == "se_dfcnn_pre"), **kw)
+    if name == "dfcnn":
+        return models.DFCNN(vocab_size, dtype=dtype)
+    if name == "bigru":
+        return models.BiGRUCTC(vocab_size, dtype=dtype)
+    if name == "keras_dfcnn":
+        return models.KerasDFCNN(vocab_size, dtype=dtype)
+    return models.SEDFCNN(vocab_size, se_first=(name == "se_dfcnn_pre"),
+                          dtype=dtype)
+
+
+def _lm_model(av_size, lv_size, small):
+    from asr_dfcnn_transformer_tpu.models import TransformerLM
+    if small:
+        return TransformerLM(av_size, lv_size, d_model=32, num_heads=4,
+                             num_blocks=1, dropout_rate=0.0,
+                             dtype=jnp.float32)
+    return TransformerLM(av_size, lv_size)
+
+
+def cmd_am(args):
+    from asr_dfcnn_transformer_tpu.data.loader import prefetch
+    from asr_dfcnn_transformer_tpu.train import AMTrainer
+    bsz = args.batch_size or 16
+    bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+    loader, av, lv = _data(args, bsz, bounds)
+    train_dl, dev_dl = loader("train", True), loader("dev", False)
+    model = _am_model(args.model, av.size, args.small)
+    tr = AMTrainer(model, args.workdir, lr=args.lr or 7e-4,
+                   augment_noise=args.augment_noise)
+    first = next(train_dl.am_batches(bsz, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(
+        jax.random.PRNGKey(args.seed), first))
+    out = tr.fit(lambda: prefetch(train_dl.am_batches(bsz, seed=args.seed)),
+                 lambda: dev_dl.am_batches(bsz, shuffle=False),
+                 epochs=args.epochs or 100,
+                 rng=jax.random.PRNGKey(args.seed))
+    print("am training done:", out)
+
+
+def cmd_lm(args):
+    from asr_dfcnn_transformer_tpu.data.loader import prefetch
+    from asr_dfcnn_transformer_tpu.train import LMTrainer
+    bsz = args.batch_size or 64
+    loader, av, lv = _data(args, bsz)
+    train_dl, dev_dl = loader("train", True), loader("dev", False)
+    model = _lm_model(av.size, lv.size, args.small)
+    tr = LMTrainer(model, args.workdir, lr=args.lr or 5e-5)
+    first = next(train_dl.lm_batches(bsz, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(
+        jax.random.PRNGKey(args.seed), first))
+    out = tr.fit(lambda: prefetch(train_dl.lm_batches(bsz, seed=args.seed)),
+                 lambda: dev_dl.lm_batches(bsz, shuffle=False),
+                 epochs=args.epochs or 100,
+                 rng=jax.random.PRNGKey(args.seed))
+    print("lm training done:", out)
+
+
+def cmd_atten(args):
+    """CTC-attention: LFR fbank -> hanzi CTC (train_atten.py capability)."""
+    from asr_dfcnn_transformer_tpu.data.loader import prefetch
+    from asr_dfcnn_transformer_tpu.models import CTCAttention
+    from asr_dfcnn_transformer_tpu.train.trainer import AttenTrainer
+    bsz = args.batch_size or 16
+    bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+    loader, av, lv = _data(args, bsz, bounds)
+    train_dl, dev_dl = loader("train", True), loader("dev", False)
+    if args.small:
+        model = CTCAttention(lv.size, d_model=32, num_heads=4, num_blocks=1,
+                             dropout_rate=0.0, dtype=jnp.float32)
+    else:
+        model = CTCAttention(lv.size)
+    tr = AttenTrainer(model, args.workdir, lr=args.lr or 7e-4)
+    first = next(train_dl.am_batches(bsz, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(
+        jax.random.PRNGKey(args.seed), first))
+    out = tr.fit(lambda: prefetch(train_dl.am_batches(bsz, seed=args.seed)),
+                 lambda: dev_dl.am_batches(bsz, shuffle=False),
+                 epochs=args.epochs or 100,
+                 rng=jax.random.PRNGKey(args.seed))
+    print("ctc-attention training done:", out)
+
+
+def cmd_e2e(args):
+    from asr_dfcnn_transformer_tpu.core import vocab as vocab_mod
+    from asr_dfcnn_transformer_tpu.data.loader import prefetch
+    from asr_dfcnn_transformer_tpu.models import SpeechTransformer
+    from asr_dfcnn_transformer_tpu.train import E2ETrainer
+    bsz = args.batch_size or 8
+    bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+    loader, av, lv = _data(args, bsz, bounds)
+    ev = vocab_mod.e2e_language_vocab()
+    train_dl = loader("train", True)
+    if args.small:
+        model = SpeechTransformer(ev.size, d_model=32, num_heads=4,
+                                  num_enc_blocks=1, num_dec_blocks=1,
+                                  prenet_channels=8, dropout_rate=0.0,
+                                  dtype=jnp.float32)
+    else:
+        model = SpeechTransformer(ev.size)
+    tr = E2ETrainer(model, args.workdir, lr=args.lr or 3e-4,
+                    feature_dim=80 if not args.small else 40)
+    first = next(train_dl.am_batches(bsz, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(
+        jax.random.PRNGKey(args.seed), first))
+    out = tr.fit(lambda: prefetch(train_dl.am_batches(bsz, seed=args.seed)),
+                 epochs=args.epochs or 10,
+                 rng=jax.random.PRNGKey(args.seed))
+    print("e2e training done:", out)
+
+
+def _load_pipeline(args, decode="greedy", beam_width=8):
+    from asr_dfcnn_transformer_tpu.infer import Pipeline
+    from asr_dfcnn_transformer_tpu.train import AMTrainer, LMTrainer
+    bsz = args.batch_size or 16
+    bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+    loader, av, lv = _data(args, bsz, bounds)
+    test_dl = loader("test", False)
+    am = _am_model(getattr(args, "model", "se_dfcnn"), av.size, args.small)
+    lm = _lm_model(av.size, lv.size, args.small)
+    amt = AMTrainer(am, args.workdir)
+    lmt = LMTrainer(lm, args.workdir)
+    first = next(test_dl.am_batches(bsz, shuffle=False))
+    am_state = amt.restore_or_init(lambda: amt.init_state(
+        jax.random.PRNGKey(0), first))
+    lm_first = next(test_dl.lm_batches(bsz, shuffle=False))
+    lm_state = lmt.restore_or_init(lambda: lmt.init_state(
+        jax.random.PRNGKey(1), lm_first))
+    pipe = Pipeline(
+        am, {"params": am_state.params, "batch_stats": am_state.batch_stats},
+        lm, {"params": lm_state.params},
+        acoustic_vocab=av, language_vocab=lv, decode=decode,
+        beam_width=beam_width)
+    return pipe, test_dl, bsz
+
+
+def cmd_eval(args):
+    pipe, test_dl, bsz = _load_pipeline(args, args.decode, args.beam_width)
+    batches = test_dl.am_batches(bsz, shuffle=False)
+    if args.limit:
+        import itertools
+        batches = itertools.islice(batches, max(1, args.limit // bsz))
+    res = pipe.evaluate(batches, pred_log_path=os.path.join(
+        args.workdir, "pred", "pred_log"))
+    print(f"*[Test Result] 拼音 word accuracy ratio: "
+          f"{res.pinyin_accuracy * 100:.2f}%")
+    print(f"*[Test Result] 汉字 word accuracy ratio: "
+          f"{res.hanzi_accuracy * 100:.2f}%")
+    print("pred_log:", res.pred_log_path)
+
+
+def cmd_infer(args):
+    pipe, _, _ = _load_pipeline(args, args.decode)
+    pinyin, hanzi = pipe.recognize_file(args.wav)
+    print("拼音:", " ".join(pinyin))
+    print("汉字:", hanzi)
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+    _setup_platform(args)
+    {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
+     "eval": cmd_eval, "infer": cmd_infer}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

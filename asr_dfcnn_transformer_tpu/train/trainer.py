@@ -1,0 +1,602 @@
+"""Train loops for the AM, LM and end-to-end models.
+
+Mirrors the capabilities of the reference drivers (``lm_and_am/train.py``,
+``train_atten.py``, ``end2end/model.py:74-126``) as pjit-sharded JAX:
+
+- polynomial-decay-with-cycle Adam (acoustic_model.py:82-89),
+- loss/metric prints on a cadence (train.py:72-73), metrics to JSONL,
+- per-epoch dev sweep with metric-gated best-checkpoint save and
+  resume-from-latest (train.py:45-50, 77-96),
+- the whole step — device-side fbank (+ optional colored-noise
+  augmentation), model forward, CTC/CE loss, grads, Adam update — is ONE
+  jitted program per length bucket; batches arrive as raw audio.
+
+Sharding: batch arrays are placed with their leading axis over the mesh's
+``data`` axis, params replicated (optionally tensor-parallel for the
+transformers via parallel.param_shardings); XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from asr_dfcnn_transformer_tpu.audio import batched_fbank, add_noise_batch
+from asr_dfcnn_transformer_tpu.audio.fbank import FbankConfig
+from asr_dfcnn_transformer_tpu.audio.lfr import batched_lfr
+from asr_dfcnn_transformer_tpu.core import constants
+from asr_dfcnn_transformer_tpu.data.loader import AMBatch, LMBatch
+from asr_dfcnn_transformer_tpu.models import logit_lengths
+from asr_dfcnn_transformer_tpu.models.speech_transformer import e2e_loss
+from asr_dfcnn_transformer_tpu.models.transformer_lm import lm_loss_and_acc
+from asr_dfcnn_transformer_tpu.ops import (
+    batched_edit_distance,
+    ctc_greedy_decode,
+    ctc_loss,
+)
+from asr_dfcnn_transformer_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from asr_dfcnn_transformer_tpu.train.checkpoint import CheckpointManager
+from asr_dfcnn_transformer_tpu.train.schedule import polynomial_decay_with_cycle
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class MetricWriter:
+    """JSONL metric log + stdout — the observability layer replacing the
+    reference's TensorBoard scalars + prints (SURVEY.md §5)."""
+
+    def __init__(self, workdir: str, name: str):
+        os.makedirs(workdir, exist_ok=True)
+        self.path = os.path.join(workdir, f"{name}_metrics.jsonl")
+
+    def write(self, step: int, **metrics):
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: (float(v) if hasattr(v, "__float__") else v)
+                    for k, v in metrics.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def _weighted_mean(values, weights):
+    return jnp.sum(values * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+class _TrainerBase:
+    def __init__(self, workdir: str, name: str, lr: float, decay_steps: int,
+                 min_lr: float, mesh=None, max_to_keep: int = 5):
+        self.workdir = workdir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.schedule = polynomial_decay_with_cycle(lr, decay_steps, min_lr)
+        self.tx = optax.adam(self.schedule)
+        self.ckpt = CheckpointManager(os.path.join(workdir, f"ckpt_{name}"),
+                                      max_to_keep)
+        self.metrics = MetricWriter(workdir, name)
+        self.state: Optional[TrainState] = None
+
+    def _make_state(self, variables) -> TrainState:
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                           batch_stats=batch_stats,
+                           opt_state=self.tx.init(params))
+        return jax.device_put(state, replicated(self.mesh))
+
+    def restore_or_init(self, init_fn) -> TrainState:
+        template = init_fn()
+        restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, template))
+        if restored is not None:
+            self.state = jax.device_put(restored, replicated(self.mesh))
+        else:
+            self.state = template
+        return self.state
+
+    def save(self, epoch: int):
+        self.ckpt.save(epoch, jax.tree.map(np.asarray, self.state))
+
+    def save_best(self):
+        self.ckpt.save_best(jax.tree.map(np.asarray, self.state))
+
+
+# --------------------------------------------------------------------------
+# Acoustic model trainer
+# --------------------------------------------------------------------------
+
+class AMTrainer(_TrainerBase):
+    """DFCNN/SE-DFCNN/BiGRU CTC trainer (train_acoustic_model semantics,
+    train.py:21-96)."""
+
+    def __init__(self, model, workdir: str, lr: float = 7e-4,
+                 decay_steps: int = 5000, min_lr: float = 1e-6,
+                 feature_dim: int = 200, mesh=None,
+                 augment_noise: bool = False, max_to_keep: int = 5):
+        super().__init__(workdir, "am", lr, decay_steps, min_lr, mesh,
+                         max_to_keep)
+        self.model = model
+        self.feature_dim = feature_dim
+        self.fbank_cfg = FbankConfig(nfilt=feature_dim)
+        self.augment_noise = augment_noise
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    def init_state(self, rng, example_batch: AMBatch) -> TrainState:
+        feats, _ = self._features(jnp.asarray(example_batch.signals),
+                                  jnp.asarray(example_batch.signal_lengths),
+                                  example_batch.bucket_frames)
+        variables = self.model.init(rng, feats, train=False)
+        return self._make_state(variables)
+
+    def _features(self, signals, signal_lengths, bucket_frames):
+        feats, valid = batched_fbank(signals, signal_lengths,
+                                     cfg=self.fbank_cfg,
+                                     out_frames=bucket_frames)
+        return feats[..., None], valid  # NHWC
+
+    def _build_train_step(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",),
+                           donate_argnums=(0,))
+        def step(state: TrainState, signals, signal_lengths, pinyin,
+                 pinyin_lengths, weights, rng, bucket_frames):
+            if self.augment_noise:
+                rng, nkey = jax.random.split(rng)
+                signals = add_noise_batch(nkey, signals, signal_lengths)
+
+            def loss_fn(params):
+                feats, _ = self._features(signals, signal_lengths,
+                                          bucket_frames)
+                logits, updates = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
+                in_len = logit_lengths(signal_lengths // 160,
+                                       logits.shape[1])
+                losses = ctc_loss(logits, in_len, pinyin, pinyin_lengths,
+                                  blank_id=-1)
+                return _weighted_mean(losses, weights), updates
+
+            (loss, updates), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_params, new_opt = self._apply(grads, state)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=updates.get("batch_stats", state.batch_stats),
+                opt_state=new_opt)
+            return new_state, {"loss": loss,
+                               "lr": self.schedule(state.step)}
+
+        return step
+
+    def _apply(self, grads, state):
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        return optax.apply_updates(state.params, updates), new_opt
+
+    def _build_eval_step(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",))
+        def step(state: TrainState, signals, signal_lengths, pinyin,
+                 pinyin_lengths, weights, bucket_frames):
+            feats, _ = self._features(signals, signal_lengths, bucket_frames)
+            logits = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                feats, train=False)
+            in_len = logit_lengths(signal_lengths // 160, logits.shape[1])
+            losses = ctc_loss(logits, in_len, pinyin, pinyin_lengths,
+                              blank_id=-1)
+            decoded, dec_len = ctc_greedy_decode(logits, in_len, blank_id=-1)
+            dist = batched_edit_distance(decoded[:, : pinyin.shape[1]],
+                                         jnp.minimum(dec_len,
+                                                     pinyin.shape[1]),
+                                         pinyin, pinyin_lengths)
+            ler = dist.astype(jnp.float32) / jnp.maximum(
+                pinyin_lengths.astype(jnp.float32), 1.0)
+            return {"loss": _weighted_mean(losses, weights),
+                    "ler": _weighted_mean(ler, weights),
+                    "weight": jnp.sum(weights)}
+
+        return step
+
+    def train_step(self, batch: AMBatch, rng) -> Dict[str, float]:
+        b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
+                                    batch.pinyin, batch.pinyin_lengths,
+                                    batch.weights))
+        self.state, metrics = self._train_step(self.state, *b, rng,
+                                               batch.bucket_frames)
+        return metrics
+
+    def eval_step(self, batch: AMBatch) -> Dict[str, float]:
+        b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
+                                    batch.pinyin, batch.pinyin_lengths,
+                                    batch.weights))
+        return self._eval_step(self.state, *b, batch.bucket_frames)
+
+    def fit(self, train_batches: Callable[[], Iterator[AMBatch]],
+            dev_batches: Callable[[], Iterator[AMBatch]],
+            epochs: int, rng=None, log_every: int = 2) -> Dict[str, float]:
+        """Epoch loop with dev-WER-gated best save (train.py:54-96)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        best_wer = float("inf")
+        last = {}
+        start_epoch = (self.ckpt.latest_step() or -1) + 1
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            for i, batch in enumerate(train_batches()):
+                rng, sub = jax.random.split(rng)
+                m = self.train_step(batch, sub)
+                if i % log_every == 0:
+                    self.metrics.write(int(self.state.step), epoch=epoch,
+                                       split="train", **m)
+            evals = [self.eval_step(b) for b in dev_batches()]
+            if evals:
+                w = np.array([float(e["weight"]) for e in evals])
+                wer = float(np.sum([float(e["ler"]) * wi
+                                    for e, wi in zip(evals, w)]) /
+                            max(w.sum(), 1.0))
+                loss = float(np.mean([float(e["loss"]) for e in evals]))
+            else:
+                wer, loss = float("nan"), float("nan")
+            dt = time.time() - t0
+            self.metrics.write(int(self.state.step), epoch=epoch,
+                               split="dev", loss=loss, wer=wer, seconds=dt)
+            self.save(epoch)
+            if evals and wer < best_wer:
+                best_wer = wer
+                self.save_best()
+            last = {"epoch": epoch, "dev_loss": loss, "dev_wer": wer}
+        return last
+
+
+# --------------------------------------------------------------------------
+# CTC-attention trainer (LFR fbank -> hanzi CTC)
+# --------------------------------------------------------------------------
+
+class AttenTrainer(_TrainerBase):
+    """Trainer for the CTCAttention model (train_atten.py semantics:
+    same skeleton as the AM trainer but LFR features and hanzi CTC
+    targets, train_atten.py:18-93 + data_loader2.py:130-136)."""
+
+    def __init__(self, model, workdir: str, lr: float = 7e-4,
+                 decay_steps: int = 5000, min_lr: float = 1e-6,
+                 feature_dim: int = 200, lfr_m: int = 4, lfr_n: int = 3,
+                 mesh=None, max_to_keep: int = 5):
+        super().__init__(workdir, "atten", lr, decay_steps, min_lr, mesh,
+                         max_to_keep)
+        self.model = model
+        self.fbank_cfg = FbankConfig(nfilt=feature_dim)
+        self.lfr_m, self.lfr_n = lfr_m, lfr_n
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    def _features(self, signals, signal_lengths, bucket_frames):
+        feats, valid = batched_fbank(signals, signal_lengths,
+                                     cfg=self.fbank_cfg,
+                                     out_frames=bucket_frames)
+        lfr, lfr_valid = batched_lfr(feats, valid, self.lfr_m, self.lfr_n)
+        return lfr[..., None], lfr_valid
+
+    def init_state(self, rng, batch: AMBatch) -> TrainState:
+        feats, valid = self._features(jnp.asarray(batch.signals),
+                                      jnp.asarray(batch.signal_lengths),
+                                      batch.bucket_frames)
+        variables = self.model.init(rng, feats, valid, train=False)
+        return self._make_state(variables)
+
+    def _build_train_step(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",),
+                           donate_argnums=(0,))
+        def step(state: TrainState, signals, signal_lengths, hanzi,
+                 hanzi_lengths, weights, rng, bucket_frames):
+            def loss_fn(params):
+                feats, valid = self._features(signals, signal_lengths,
+                                              bucket_frames)
+                (logits, in_len), updates = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats, valid, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
+                losses = ctc_loss(logits, in_len, hanzi, hanzi_lengths,
+                                  blank_id=-1)
+                return _weighted_mean(losses, weights), updates
+
+            (loss, updates), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            upd, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+            new_params = optax.apply_updates(state.params, upd)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=updates.get("batch_stats", state.batch_stats),
+                opt_state=new_opt)
+            return new_state, {"loss": loss,
+                               "lr": self.schedule(state.step)}
+
+        return step
+
+    def _build_eval_step(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",))
+        def step(state: TrainState, signals, signal_lengths, hanzi,
+                 hanzi_lengths, weights, bucket_frames):
+            feats, valid = self._features(signals, signal_lengths,
+                                          bucket_frames)
+            logits, in_len = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                feats, valid, train=False)
+            losses = ctc_loss(logits, in_len, hanzi, hanzi_lengths,
+                              blank_id=-1)
+            decoded, dec_len = ctc_greedy_decode(logits, in_len, blank_id=-1)
+            dist = batched_edit_distance(
+                decoded[:, : hanzi.shape[1]],
+                jnp.minimum(dec_len, hanzi.shape[1]), hanzi, hanzi_lengths)
+            ler = dist.astype(jnp.float32) / jnp.maximum(
+                hanzi_lengths.astype(jnp.float32), 1.0)
+            return {"loss": _weighted_mean(losses, weights),
+                    "ler": _weighted_mean(ler, weights),
+                    "weight": jnp.sum(weights)}
+
+        return step
+
+    def train_step(self, batch: AMBatch, rng) -> Dict[str, float]:
+        b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
+                                    batch.hanzi, batch.hanzi_lengths,
+                                    batch.weights))
+        self.state, metrics = self._train_step(self.state, *b, rng,
+                                               batch.bucket_frames)
+        return metrics
+
+    def eval_step(self, batch: AMBatch) -> Dict[str, float]:
+        b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
+                                    batch.hanzi, batch.hanzi_lengths,
+                                    batch.weights))
+        return self._eval_step(self.state, *b, batch.bucket_frames)
+
+    def fit(self, train_batches, dev_batches, epochs: int, rng=None,
+            log_every: int = 2) -> Dict[str, float]:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        best_wer = float("inf")
+        last = {}
+        start_epoch = (self.ckpt.latest_step() or -1) + 1
+        for epoch in range(start_epoch, epochs):
+            for i, batch in enumerate(train_batches()):
+                rng, sub = jax.random.split(rng)
+                m = self.train_step(batch, sub)
+                if i % log_every == 0:
+                    self.metrics.write(int(self.state.step), epoch=epoch,
+                                       split="train", **m)
+            evals = [self.eval_step(b) for b in dev_batches()]
+            wer = float(np.mean([float(e["ler"]) for e in evals])) if evals \
+                else float("nan")
+            self.metrics.write(int(self.state.step), epoch=epoch,
+                               split="dev", wer=wer)
+            self.save(epoch)
+            if evals and wer < best_wer:
+                best_wer = wer
+                self.save_best()
+            last = {"epoch": epoch, "dev_wer": wer}
+        return last
+
+
+# --------------------------------------------------------------------------
+# Language model trainer
+# --------------------------------------------------------------------------
+
+class LMTrainer(_TrainerBase):
+    """Transformer LM trainer (train_language_model semantics,
+    train.py:100-165): CE loss, padding-masked accuracy, acc-gated best
+    save."""
+
+    def __init__(self, model, workdir: str, lr: float = 5e-5,
+                 decay_steps: int = 5000, min_lr: float = 1e-6, mesh=None,
+                 max_to_keep: int = 5):
+        super().__init__(workdir, "lm", lr, decay_steps, min_lr, mesh,
+                         max_to_keep)
+        self.model = model
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    def init_state(self, rng, example_batch: LMBatch) -> TrainState:
+        variables = self.model.init(rng, jnp.asarray(example_batch.pinyin),
+                                    train=False)
+        return self._make_state(variables)
+
+    def _build_train_step(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, pinyin, hanzi, weights, rng):
+            def loss_fn(params):
+                logits = self.model.apply(
+                    {"params": params}, pinyin, train=True,
+                    rngs={"dropout": rng})
+                # zero out back-filled rows by masking their targets to PAD
+                tgt = jnp.where(weights[:, None] > 0, hanzi, constants.PAD)
+                loss, acc = lm_loss_and_acc(logits, tgt)
+                return loss, acc
+
+            (loss, acc), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=new_params,
+                                      opt_state=new_opt)
+            return new_state, {"loss": loss, "acc": acc,
+                               "lr": self.schedule(state.step)}
+
+        return step
+
+    def _build_eval_step(self):
+        @jax.jit
+        def step(state: TrainState, pinyin, hanzi, weights):
+            logits = self.model.apply({"params": state.params}, pinyin,
+                                      train=False)
+            tgt = jnp.where(weights[:, None] > 0, hanzi, constants.PAD)
+            loss, acc = lm_loss_and_acc(logits, tgt)
+            return {"loss": loss, "acc": acc}
+
+        return step
+
+    def train_step(self, batch: LMBatch, rng) -> Dict[str, float]:
+        b = shard_batch(self.mesh, (batch.pinyin, batch.hanzi, batch.weights))
+        self.state, metrics = self._train_step(self.state, *b, rng)
+        return metrics
+
+    def eval_step(self, batch: LMBatch) -> Dict[str, float]:
+        b = shard_batch(self.mesh, (batch.pinyin, batch.hanzi, batch.weights))
+        return self._eval_step(self.state, *b)
+
+    def fit(self, train_batches, dev_batches, epochs: int, rng=None,
+            log_every: int = 10) -> Dict[str, float]:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        best_acc = -1.0
+        last = {}
+        start_epoch = (self.ckpt.latest_step() or -1) + 1
+        for epoch in range(start_epoch, epochs):
+            for i, batch in enumerate(train_batches()):
+                rng, sub = jax.random.split(rng)
+                m = self.train_step(batch, sub)
+                if i % log_every == 0:
+                    self.metrics.write(int(self.state.step), epoch=epoch,
+                                       split="train", **m)
+            evals = [self.eval_step(b) for b in dev_batches()]
+            acc = float(np.mean([float(e["acc"]) for e in evals])) if evals \
+                else float("nan")
+            loss = float(np.mean([float(e["loss"]) for e in evals])) if evals \
+                else float("nan")
+            self.metrics.write(int(self.state.step), epoch=epoch,
+                               split="dev", loss=loss, acc=acc)
+            self.save(epoch)
+            if evals and acc > best_acc:
+                best_acc = acc
+                self.save_best()
+            last = {"epoch": epoch, "dev_loss": loss, "dev_acc": acc}
+        return last
+
+
+# --------------------------------------------------------------------------
+# End-to-end speech transformer trainer
+# --------------------------------------------------------------------------
+
+class E2ETrainer(_TrainerBase):
+    """Speech-Transformer trainer (transformerTrain semantics,
+    end2end/model.py:63-126): LFR front-end on device, teacher-forced
+    decoder with [SOS]+y inputs / y+[EOS] targets padded IGNORE
+    (end2end/data_loader.py:142-160, 263-302)."""
+
+    def __init__(self, model, workdir: str, lr: float = 3e-4,
+                 decay_steps: int = 5000, min_lr: float = 1e-6,
+                 feature_dim: int = 80, lfr_m: int = 4, lfr_n: int = 3,
+                 mesh=None, max_to_keep: int = 5):
+        super().__init__(workdir, "e2e", lr, decay_steps, min_lr, mesh,
+                         max_to_keep)
+        self.model = model
+        self.fbank_cfg = FbankConfig(nfilt=feature_dim)
+        self.lfr_m, self.lfr_n = lfr_m, lfr_n
+        self._train_step = self._build_train_step()
+
+    def _features(self, signals, signal_lengths, bucket_frames):
+        feats, valid = batched_fbank(signals, signal_lengths,
+                                     cfg=self.fbank_cfg,
+                                     out_frames=bucket_frames)
+        lfr, lfr_valid = batched_lfr(feats, valid, self.lfr_m, self.lfr_n)
+        return lfr[..., None], lfr_valid
+
+    def make_decoder_io(self, hanzi: np.ndarray, hanzi_lengths: np.ndarray):
+        """[SOS]+y inputs; y+[EOS] targets with IGNORE padding
+        (end2end/data_loader.py:142-160)."""
+        b, l = hanzi.shape
+        dec_in = np.full((b, l + 1), constants.PAD, np.int32)
+        dec_in[:, 0] = constants.SOS
+        dec_in[:, 1:] = hanzi
+        targets = np.full((b, l + 1), constants.IGNORE_ID, np.int32)
+        for i in range(b):
+            n = int(hanzi_lengths[i])
+            targets[i, :n] = hanzi[i, :n]
+            targets[i, n] = constants.EOS
+            dec_in[i, n + 1:] = constants.PAD
+        return dec_in, targets
+
+    def init_state(self, rng, batch: AMBatch) -> TrainState:
+        feats, valid = self._features(jnp.asarray(batch.signals),
+                                      jnp.asarray(batch.signal_lengths),
+                                      batch.bucket_frames)
+        dec_in, _ = self.make_decoder_io(batch.hanzi, batch.hanzi_lengths)
+        variables = self.model.init(rng, feats, valid, jnp.asarray(dec_in),
+                                    train=False)
+        return self._make_state(variables)
+
+    def _build_train_step(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",),
+                           donate_argnums=(0,))
+        def step(state: TrainState, signals, signal_lengths, dec_in,
+                 targets, rng, bucket_frames):
+            def loss_fn(params):
+                feats, valid = self._features(signals, signal_lengths,
+                                              bucket_frames)
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                out = self.model.apply(
+                    variables, feats, valid, dec_in, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                logits, updates = out
+                loss, acc = e2e_loss(logits, targets)
+                return loss, (acc, updates)
+
+            (loss, (acc, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates_opt, new_opt = self.tx.update(grads, state.opt_state,
+                                                  state.params)
+            new_params = optax.apply_updates(state.params, updates_opt)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=updates.get("batch_stats", state.batch_stats),
+                opt_state=new_opt)
+            return new_state, {"loss": loss, "acc": acc,
+                               "lr": self.schedule(state.step)}
+
+        return step
+
+    def train_step(self, batch: AMBatch, rng) -> Dict[str, float]:
+        dec_in, targets = self.make_decoder_io(batch.hanzi,
+                                               batch.hanzi_lengths)
+        b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
+                                    dec_in, targets))
+        self.state, metrics = self._train_step(self.state, *b, rng,
+                                               batch.bucket_frames)
+        return metrics
+
+    def fit(self, train_batches, epochs: int, rng=None,
+            log_every: int = 10, ckpt_every: int = 1000) -> Dict[str, float]:
+        """Step-based loop with periodic checkpoints
+        (end2end/model.py:101-126)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        last = {}
+        for epoch in range(epochs):
+            for i, batch in enumerate(train_batches()):
+                rng, sub = jax.random.split(rng)
+                m = self.train_step(batch, sub)
+                step = int(self.state.step)
+                if i % log_every == 0:
+                    self.metrics.write(step, epoch=epoch, split="train", **m)
+                if step % ckpt_every == 0:
+                    self.save(step)
+                last = {"epoch": epoch, "loss": float(m["loss"]),
+                        "acc": float(m["acc"])}
+            self.save(int(self.state.step))
+        return last

@@ -1,0 +1,144 @@
+"""Training-loop tests: loss decreases on the learnable synthetic corpus,
+checkpoints save/resume, schedules match tf semantics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_dfcnn_transformer_tpu.core import vocab
+from asr_dfcnn_transformer_tpu.data import DataLoader, load_manifests, make_synthetic_corpus
+from asr_dfcnn_transformer_tpu.models import SEDFCNN, SpeechTransformer, TransformerLM
+from asr_dfcnn_transformer_tpu.train import (
+    AMTrainer,
+    E2ETrainer,
+    LMTrainer,
+    polynomial_decay_with_cycle,
+)
+
+
+def test_polynomial_decay_with_cycle_matches_tf_semantics():
+    sched = polynomial_decay_with_cycle(1e-3, 100, 1e-6, power=0.5,
+                                        cycle=True)
+    # at step 0: full lr
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-5)
+    # at step 100 (end of first cycle): minimum
+    np.testing.assert_allclose(float(sched(100)), 1e-6, atol=1e-7)
+    # at step 101: horizon stretches to 200 -> lr jumps back up
+    assert float(sched(101)) > 5e-4
+    # inside first cycle, matches (lr0-end)*(1-t/T)^p + end
+    t = 37
+    want = (1e-3 - 1e-6) * (1 - t / 100) ** 0.5 + 1e-6
+    np.testing.assert_allclose(float(sched(t)), want, rtol=1e-5)
+
+
+def _small_mesh():
+    from asr_dfcnn_transformer_tpu.parallel import make_mesh
+    return make_mesh(4, 1, jax.devices()[:4])
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traincorpus")
+    return make_synthetic_corpus(str(root), num_utts=16, num_classes=4,
+                                 syllables_per_utt=(2, 3), tone_ms=200,
+                                 seed=1)
+
+
+@pytest.fixture(scope="module")
+def loader(corpus):
+    data_dir, wav_root, _, _ = corpus
+    m = load_manifests(data_dir, "train", corpora=("thchs",))
+    return DataLoader(m, vocab.acoustic_vocab(), vocab.language_vocab(),
+                      speech_root=wav_root, bucket_bounds=(128,))
+
+
+def test_am_training_loss_decreases(loader, tmp_path):
+    model = SEDFCNN(vocab_size=loader.av.size,
+                    stage_features=(8, 8, 16, 16, 16),
+                    se_ratio=(1, 2, 2, 2, 2), head_features=16,
+                    dropout_rate=0.0, dtype=jnp.float32)
+    mesh = _small_mesh()
+    tr = AMTrainer(model, str(tmp_path / "am"), lr=3e-4, mesh=mesh)
+    batches = list(loader.am_batches(batch_size=4, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0),
+                                             batches[0]))
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(14):
+        rng, sub = jax.random.split(rng)
+        m = tr.train_step(batches[i % len(batches)], sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]) * 0.8, losses
+    ev = tr.eval_step(batches[0])
+    assert np.isfinite(float(ev["ler"]))
+
+
+def test_am_fit_saves_and_resumes(loader, tmp_path):
+    model = SEDFCNN(vocab_size=loader.av.size,
+                    stage_features=(4, 4, 8, 8, 8),
+                    se_ratio=(1, 2, 2, 2, 2), head_features=8,
+                    dropout_rate=0.0, dtype=jnp.float32)
+    workdir = str(tmp_path / "amfit")
+    batches = list(loader.am_batches(batch_size=4, shuffle=False))[:2]
+
+    tr = AMTrainer(model, workdir, lr=3e-4, mesh=_small_mesh())
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0),
+                                             batches[0]))
+    out = tr.fit(lambda: iter(batches), lambda: iter(batches[:1]), epochs=2)
+    assert out["epoch"] == 1
+    step_after = int(tr.state.step)
+
+    # new trainer instance resumes from epoch 2
+    tr2 = AMTrainer(model, workdir, lr=3e-4, mesh=_small_mesh())
+    tr2.restore_or_init(lambda: tr2.init_state(jax.random.PRNGKey(0),
+                                               batches[0]))
+    assert int(tr2.state.step) == step_after
+    out2 = tr2.fit(lambda: iter(batches), lambda: iter(batches[:1]),
+                   epochs=3)
+    assert out2["epoch"] == 2
+    assert os.path.exists(os.path.join(workdir, "am_metrics.jsonl"))
+
+
+def test_lm_training_loss_decreases(loader, tmp_path):
+    model = TransformerLM(input_vocab_size=loader.av.size,
+                          output_vocab_size=loader.lv.size,
+                          d_model=32, num_heads=4, num_blocks=2,
+                          dropout_rate=0.0, dtype=jnp.float32)
+    tr = LMTrainer(model, str(tmp_path / "lm"), lr=3e-3)
+    batches = list(loader.lm_batches(batch_size=8, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0),
+                                             batches[0]))
+    rng = jax.random.PRNGKey(1)
+    losses, accs = [], []
+    for i in range(20):
+        rng, sub = jax.random.split(rng)
+        m = tr.train_step(batches[i % len(batches)], sub)
+        losses.append(float(m["loss"]))
+        accs.append(float(m["acc"]))
+    assert losses[-1] < losses[0] * 0.9
+    assert accs[-1] > accs[0]
+
+
+def test_e2e_training_runs_and_loss_decreases(loader, tmp_path):
+    ev = vocab.e2e_language_vocab()
+    model = SpeechTransformer(vocab_size=ev.size, d_model=32, num_heads=4,
+                              num_enc_blocks=1, num_dec_blocks=1,
+                              prenet_channels=8, dropout_rate=0.0,
+                              dtype=jnp.float32)
+    tr = E2ETrainer(model, str(tmp_path / "e2e"), lr=1e-3, feature_dim=40,
+                    mesh=_small_mesh())
+    batches = list(loader.am_batches(batch_size=4, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0),
+                                             batches[0]))
+    rng = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(10):
+        rng, sub = jax.random.split(rng)
+        m = tr.train_step(batches[i % len(batches)], sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
