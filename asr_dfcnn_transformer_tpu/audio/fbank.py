@@ -230,3 +230,21 @@ def log_spectrogram(signal: jnp.ndarray, feature_dim: int = 200) -> jnp.ndarray:
     frames = sig[idx] * ham
     spec = jnp.abs(jnp.fft.fft(frames, axis=-1))[:, :feature_dim]
     return cmvn(jnp.log(spec + 1.0))
+
+
+def log_spectrogram_asrt(signal: jnp.ndarray,
+                         feature_dim: int = 200) -> jnp.ndarray:
+    """The reference's third extractor variant (wav_util.py:82-112):
+    same Hamming spectrogram but |FFT| divided by the signal length and NO
+    per-utterance standardization; frame count uses floor (no +1)."""
+    x = np.arange(400)
+    ham = jnp.asarray(0.54 - 0.46 * np.cos(2 * np.pi * x / 399), jnp.float32)
+    n = max(1, (signal.shape[0] * 1000 // 16000 - 25) // 10)
+    raw = signal.astype(jnp.float32)
+    pad_len = (n - 1) * 160 + 400
+    sig = jnp.zeros((max(pad_len, raw.shape[0]),), jnp.float32
+                    ).at[: raw.shape[0]].set(raw)
+    idx = np.arange(400)[None, :] + 160 * np.arange(n)[:, None]
+    frames = sig[idx] * ham
+    spec = jnp.abs(jnp.fft.fft(frames, axis=-1))[:, :feature_dim]
+    return jnp.log(spec / signal.shape[0] + 1.0)

@@ -145,6 +145,45 @@ class Pipeline:
 
     # ------------------------------------------------------------------
 
+    def evaluate_lm(self, batches: Iterable, *,
+                    pred_log_path: Optional[str] = None) -> EvalResult:
+        """LM-only protocol (test_lm.py:24-94): ground-truth pinyin in,
+        hanzi accuracy out, same clipped edit distance."""
+        assert self.lm_model is not None and self.lv is not None
+        if not hasattr(self, "_lm_infer"):
+            self._lm_infer = jax.jit(lambda ids: jnp.argmax(
+                self.lm_model.apply(self.lm_variables, ids, train=False),
+                axis=-1).astype(jnp.int32))
+        han_err = han_tot = 0
+        n_utts = 0
+        log_lines: List[str] = []
+        for batch in batches:
+            preds = np.asarray(self._lm_infer(jnp.asarray(batch.pinyin)))
+            for j in range(preds.shape[0]):
+                if batch.weights[j] == 0:
+                    continue
+                n_utts += 1
+                n = int(batch.lengths[j])
+                gt = list(batch.hanzi[j][:n])
+                pd = list(preds[j][:n])
+                d = edit_distance(gt, pd)
+                han_err += min(d, len(gt))
+                han_tot += len(gt)
+                if pred_log_path is not None:
+                    log_lines.append("原文汉字结果: "
+                                     + "".join(self.lv.decode(gt)))
+                    log_lines.append("预测汉字结果: "
+                                     + "".join(self.lv.decode(pd)))
+        acc = 1.0 - han_err / max(han_tot, 1)
+        if pred_log_path is not None:
+            log_lines.append(
+                f"*[Test Result] 汉字 word accuracy ratio: {acc * 100}%")
+            os.makedirs(os.path.dirname(os.path.abspath(pred_log_path)),
+                        exist_ok=True)
+            with open(pred_log_path, "w", encoding="utf-8") as f:
+                f.write("\n".join(log_lines) + "\n")
+        return EvalResult(float("nan"), acc, n_utts, pred_log_path)
+
     def evaluate(self, batches: Iterable, *, pred_log_path: Optional[str] = None,
                  manifest=None) -> EvalResult:
         """The test.py accuracy protocol over AMBatch iterables.

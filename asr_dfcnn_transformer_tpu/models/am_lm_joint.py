@@ -35,13 +35,26 @@ class AMLMJoint(nn.Module):
     acoustic_vocab_size: int
     language_vocab_size: int
     lm_position_max_length: int = 100
+    small: bool = False          # reduced dims for smoke/test runs
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
-        self.am = SEDFCNN(self.acoustic_vocab_size, dtype=self.dtype)
-        self.lm = TransformerLM(
-            self.acoustic_vocab_size, self.language_vocab_size,
-            position_max_length=self.lm_position_max_length, dtype=self.dtype)
+        if self.small:
+            self.am = SEDFCNN(self.acoustic_vocab_size,
+                              stage_features=(4, 4, 8, 8, 8),
+                              head_features=8, dropout_rate=0.0,
+                              dtype=self.dtype)
+            self.lm = TransformerLM(
+                self.acoustic_vocab_size, self.language_vocab_size,
+                d_model=32, num_heads=4, num_blocks=1, dropout_rate=0.0,
+                position_max_length=self.lm_position_max_length,
+                dtype=self.dtype)
+        else:
+            self.am = SEDFCNN(self.acoustic_vocab_size, dtype=self.dtype)
+            self.lm = TransformerLM(
+                self.acoustic_vocab_size, self.language_vocab_size,
+                position_max_length=self.lm_position_max_length,
+                dtype=self.dtype)
 
     def __call__(self, feats, frame_lengths, pinyin, pinyin_lengths,
                  hanzi, train: bool = False) -> Dict[str, Any]:
@@ -53,7 +66,10 @@ class AMLMJoint(nn.Module):
         dec, dec_len = ctc_greedy_decode(jax.lax.stop_gradient(am_logits),
                                          in_len, blank_id=-1)
         l = hanzi.shape[1]
-        dec = dec[:, :l]
+        if dec.shape[1] >= l:
+            dec = dec[:, :l]
+        else:
+            dec = jnp.pad(dec, ((0, 0), (0, l - dec.shape[1])))
         lm_logits = self.lm(dec, train)
         lm_loss, lm_acc = lm_loss_and_acc(lm_logits, hanzi)
         return {

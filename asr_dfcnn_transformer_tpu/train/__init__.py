@@ -4,6 +4,7 @@ from asr_dfcnn_transformer_tpu.train.schedule import polynomial_decay_with_cycle
 from asr_dfcnn_transformer_tpu.train.trainer import (  # noqa: F401
     AMTrainer,
     AttenTrainer,
+    JointTrainer,
     LMTrainer,
     E2ETrainer,
 )

@@ -51,7 +51,7 @@ def _build_parser():
         sp.add_argument("--platform", default=None,
                         help="force jax platform (e.g. cpu)")
 
-    for name in ("am", "lm", "atten", "e2e", "eval"):
+    for name in ("am", "lm", "atten", "e2e", "joint", "eval", "eval-lm"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "am":
@@ -227,6 +227,37 @@ def cmd_e2e(args):
     print("e2e training done:", out)
 
 
+def cmd_joint(args):
+    """Jointly trained AM->LM (the working am_lm_train.py capability)."""
+    from asr_dfcnn_transformer_tpu.data.loader import prefetch
+    from asr_dfcnn_transformer_tpu.models import AMLMJoint
+    from asr_dfcnn_transformer_tpu.train import JointTrainer
+    bsz = args.batch_size or 16
+    bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+    loader, av, lv = _data(args, bsz, bounds)
+    train_dl = loader("train", True)
+    model = AMLMJoint(av.size, lv.size, small=args.small,
+                      dtype=jnp.float32 if args.small else jnp.bfloat16)
+    tr = JointTrainer(model, args.workdir, lr=args.lr or 7e-4)
+    first = next(train_dl.am_batches(bsz, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(
+        jax.random.PRNGKey(args.seed), first))
+    out = tr.fit(lambda: prefetch(train_dl.am_batches(bsz, seed=args.seed)),
+                 epochs=args.epochs or 10,
+                 rng=jax.random.PRNGKey(args.seed))
+    print("joint training done:", out)
+
+
+def cmd_eval_lm(args):
+    """LM-only eval on ground-truth pinyin (test_lm.py capability)."""
+    pipe, test_dl, bsz = _load_pipeline(args)
+    res = pipe.evaluate_lm(
+        test_dl.lm_batches(bsz, shuffle=False),
+        pred_log_path=os.path.join(args.workdir, "pred", "pred_lm_log"))
+    print(f"*[Test Result] 汉字 word accuracy ratio: "
+          f"{res.hanzi_accuracy * 100:.2f}%")
+
+
 def _load_pipeline(args, decode="greedy", beam_width=8):
     from asr_dfcnn_transformer_tpu.infer import Pipeline
     from asr_dfcnn_transformer_tpu.train import AMTrainer, LMTrainer
@@ -278,7 +309,8 @@ def main(argv=None):
     args = _build_parser().parse_args(argv)
     _setup_platform(args)
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
-     "eval": cmd_eval, "infer": cmd_infer}[args.cmd](args)
+     "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,
+     "infer": cmd_infer}[args.cmd](args)
 
 
 if __name__ == "__main__":

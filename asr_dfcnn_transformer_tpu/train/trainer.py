@@ -94,6 +94,35 @@ class _TrainerBase:
         self.metrics = MetricWriter(workdir, name)
         self.state: Optional[TrainState] = None
 
+    # -- observability / failure detection ------------------------------
+
+    profile_steps: int = 0  # >0: jax.profiler trace of the first N steps
+
+    def maybe_profile(self, global_count: int):
+        """Start/stop a jax.profiler trace around the first
+        ``profile_steps`` steps (written to <workdir>/profile; view with
+        TensorBoard or xprof). The reference has no profiling at all
+        (SURVEY.md §5)."""
+        if not self.profile_steps:
+            return
+        if global_count == 1:
+            jax.profiler.start_trace(os.path.join(self.workdir, "profile"))
+        elif global_count == 1 + self.profile_steps:
+            jax.profiler.stop_trace()
+            self.profile_steps = 0
+
+    def nan_guard(self, loss: float, limit: int = 5):
+        """Failure detection: abort after ``limit`` consecutive non-finite
+        losses instead of silently training on NaNs."""
+        if np.isfinite(loss):
+            self._nan_count = 0
+        else:
+            self._nan_count = getattr(self, "_nan_count", 0) + 1
+            if self._nan_count >= limit:
+                raise RuntimeError(
+                    f"{self._nan_count} consecutive non-finite losses — "
+                    f"aborting (last checkpoint is resumable)")
+
     def _make_state(self, variables) -> TrainState:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
@@ -241,8 +270,11 @@ class AMTrainer(_TrainerBase):
             t0 = time.time()
             for i, batch in enumerate(train_batches()):
                 rng, sub = jax.random.split(rng)
+                self.maybe_profile(int(self.state.step) + 1)
                 m = self.train_step(batch, sub)
                 if i % log_every == 0:
+                    loss = float(m["loss"])
+                    self.nan_guard(loss)
                     self.metrics.write(int(self.state.step), epoch=epoch,
                                        split="train", **m)
             evals = [self.eval_step(b) for b in dev_batches()]
@@ -378,6 +410,7 @@ class AttenTrainer(_TrainerBase):
                 rng, sub = jax.random.split(rng)
                 m = self.train_step(batch, sub)
                 if i % log_every == 0:
+                    self.nan_guard(float(m["loss"]))
                     self.metrics.write(int(self.state.step), epoch=epoch,
                                        split="train", **m)
             evals = [self.eval_step(b) for b in dev_batches()]
@@ -471,6 +504,7 @@ class LMTrainer(_TrainerBase):
                 rng, sub = jax.random.split(rng)
                 m = self.train_step(batch, sub)
                 if i % log_every == 0:
+                    self.nan_guard(float(m["loss"]))
                     self.metrics.write(int(self.state.step), epoch=epoch,
                                        split="train", **m)
             evals = [self.eval_step(b) for b in dev_batches()]
@@ -485,6 +519,98 @@ class LMTrainer(_TrainerBase):
                 best_acc = acc
                 self.save_best()
             last = {"epoch": epoch, "dev_loss": loss, "dev_acc": acc}
+        return last
+
+
+# --------------------------------------------------------------------------
+# Joint AM+LM trainer
+# --------------------------------------------------------------------------
+
+class JointTrainer(_TrainerBase):
+    """Trainer for models.AMLMJoint — the working version of the
+    reference's broken joint driver (am_lm_train.py:27-116): one step
+    optimizes CTC(AM) + CE(LM on the AM's greedy pinyin output)."""
+
+    def __init__(self, model, workdir: str, lr: float = 7e-4,
+                 decay_steps: int = 5000, min_lr: float = 1e-6,
+                 feature_dim: int = 200, mesh=None, max_to_keep: int = 5):
+        super().__init__(workdir, "joint", lr, decay_steps, min_lr, mesh,
+                         max_to_keep)
+        self.model = model
+        self.fbank_cfg = FbankConfig(nfilt=feature_dim)
+        self._train_step = self._build_train_step()
+
+    def _features(self, signals, signal_lengths, bucket_frames):
+        feats, valid = batched_fbank(signals, signal_lengths,
+                                     cfg=self.fbank_cfg,
+                                     out_frames=bucket_frames)
+        return feats[..., None], valid
+
+    def init_state(self, rng, batch: AMBatch) -> TrainState:
+        feats, _ = self._features(jnp.asarray(batch.signals),
+                                  jnp.asarray(batch.signal_lengths),
+                                  batch.bucket_frames)
+        variables = self.model.init(
+            rng, feats, jnp.asarray(batch.frame_lengths),
+            jnp.asarray(batch.pinyin), jnp.asarray(batch.pinyin_lengths),
+            jnp.asarray(batch.hanzi), train=False)
+        return self._make_state(variables)
+
+    def _build_train_step(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",),
+                           donate_argnums=(0,))
+        def step(state: TrainState, signals, signal_lengths, pinyin,
+                 pinyin_lengths, hanzi, rng, bucket_frames):
+            def loss_fn(params):
+                feats, _ = self._features(signals, signal_lengths,
+                                          bucket_frames)
+                out, updates = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats, signal_lengths // 160, pinyin, pinyin_lengths,
+                    hanzi, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
+                return out["loss"], (out, updates)
+
+            (loss, (out, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            upd, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+            new_params = optax.apply_updates(state.params, upd)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=updates.get("batch_stats", state.batch_stats),
+                opt_state=new_opt)
+            return new_state, {"loss": loss, "am_loss": out["am_loss"],
+                               "lm_loss": out["lm_loss"],
+                               "lm_acc": out["lm_acc"],
+                               "lr": self.schedule(state.step)}
+
+        return step
+
+    def train_step(self, batch: AMBatch, rng) -> Dict[str, float]:
+        b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
+                                    batch.pinyin, batch.pinyin_lengths,
+                                    batch.hanzi))
+        self.state, metrics = self._train_step(self.state, *b, rng,
+                                               batch.bucket_frames)
+        return metrics
+
+    def fit(self, train_batches, epochs: int, rng=None,
+            log_every: int = 2) -> Dict[str, float]:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        last = {}
+        start_epoch = (self.ckpt.latest_step() or -1) + 1
+        for epoch in range(start_epoch, epochs):
+            for i, batch in enumerate(train_batches()):
+                rng, sub = jax.random.split(rng)
+                m = self.train_step(batch, sub)
+                if i % log_every == 0:
+                    self.nan_guard(float(m["loss"]))
+                    self.metrics.write(int(self.state.step), epoch=epoch,
+                                       split="train", **m)
+                last = {"epoch": epoch, "loss": float(m["loss"]),
+                        "lm_acc": float(m["lm_acc"])}
+            self.save(epoch)
         return last
 
 

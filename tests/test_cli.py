@@ -49,3 +49,17 @@ def test_cli_e2e_train(workdir):
     cli.main(["e2e", "--workdir", workdir, "--synthetic", "16", "--small",
               "--epochs", "1", "--batch-size", "8", "--lr", "1e-3"])
     assert os.path.exists(os.path.join(workdir, "e2e_metrics.jsonl"))
+
+
+def test_cli_joint_train(workdir):
+    cli.main(["joint", "--workdir", workdir, "--synthetic", "16", "--small",
+              "--epochs", "1", "--batch-size", "8", "--lr", "1e-3"])
+    assert os.path.exists(os.path.join(workdir, "joint_metrics.jsonl"))
+
+
+def test_cli_eval_lm(workdir, capsys):
+    cli.main(["eval-lm", "--workdir", workdir, "--synthetic", "16",
+              "--small", "--batch-size", "8"])
+    out = capsys.readouterr().out
+    assert "汉字 word accuracy ratio" in out
+    assert os.path.exists(os.path.join(workdir, "pred", "pred_lm_log"))
