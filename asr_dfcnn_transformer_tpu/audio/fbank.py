@@ -51,6 +51,10 @@ class FbankConfig:
     # the MXU — ~7x faster than XLA's TPU FFT at these sizes (512-pt over
     # 51k frames). Set False to use jnp.fft.rfft.
     use_dft_matmul: bool = True
+    # "pallas": run framing+DFT+mel+log as one fused VMEM kernel
+    # (ops/pallas/fbank_kernel.py) — no frame-expansion HBM traffic.
+    # "xla": plain jnp pipeline. Pallas path requires win 400 / hop 160.
+    backend: str = "xla"
 
 
 def num_frames(num_samples: int, cfg: FbankConfig = FbankConfig()) -> int:
@@ -192,6 +196,28 @@ def batched_fbank(signals: jnp.ndarray, lengths: jnp.ndarray,
     valid = jnp.where(
         lengths <= cfg.win_len, 1,
         1 + jnp.ceil((lengths - cfg.win_len) / cfg.hop).astype(jnp.int32))
+
+    if cfg.backend == "pallas":
+        from asr_dfcnn_transformer_tpu.ops.pallas.fbank_kernel import (
+            pallas_log_mel,
+        )
+
+        interpret = jax.devices()[0].platform != "tpu"
+        pre = jax.vmap(lambda s, l: _preemphasis(s.astype(jnp.float32),
+                                                 cfg.preemph)
+                       * (jnp.arange(s.shape[0]) < l))(signals, lengths)
+        # compute over ALL valid frames so the CMVN statistics match the
+        # per-utterance path even when t_out truncates, then slice/pad
+        feat = pallas_log_mel(pre, max(t_out, n), cfg=cfg,
+                              interpret=interpret)
+        feats = jax.vmap(cmvn)(feat, valid)
+        if t_out <= feat.shape[1]:
+            feats = feats[:, :t_out]
+        valid_c = jnp.minimum(valid, t_out)
+        # re-zero rows past the clamp (cmvn already zeroed rows past valid)
+        feats = feats * (jnp.arange(t_out)[None, :, None]
+                         < valid_c[:, None, None])
+        return feats, valid_c
 
     def one(sig, slen, nvalid):
         # mask AFTER pre-emphasis: kills the -coeff*x[len-1] spike that the

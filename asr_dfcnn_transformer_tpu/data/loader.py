@@ -65,6 +65,9 @@ class LMBatch:
 
 
 def _wav_num_samples(path: str) -> int:
+    from asr_dfcnn_transformer_tpu.data import native_loader
+    if native_loader.available():
+        return native_loader.probe(path)[0]
     with wave.open(path, "rb") as w:
         return w.getnframes()
 
@@ -183,18 +186,20 @@ class DataLoader:
         han = np.zeros((bsz, l_max), np.int32)
         han_len = np.zeros((bsz,), np.int32)
         weights = np.zeros((bsz,), np.float32)
+        # bulk wav decode: native C++ thread pool when built, python otherwise
+        from asr_dfcnn_transformer_tpu.data import native_loader
+        paths = [rows[j % n_valid][0] for j in range(bsz)]
+        signals, dec_len = native_loader.decode_batch(paths, s_max,
+                                                      out=signals)
         for j in range(bsz):
             path, p_ids, h_ids, n_samp, n_frm = rows[j % n_valid]
-            sig, _ = read_wav(path)
-            n = min(len(sig), s_max)
-            signals[j, :n] = sig[:n]
-            sig_len[j] = n
+            sig_len[j] = max(int(dec_len[j]), 0)
             frm_len[j] = min(n_frm, bucket_frames)
             pny[j, : len(p_ids)] = p_ids
             pny_len[j] = len(p_ids)
             han[j, : len(h_ids)] = h_ids
             han_len[j] = len(h_ids)
-            weights[j] = 1.0 if j < n_valid else 0.0
+            weights[j] = 1.0 if (j < n_valid and dec_len[j] >= 0) else 0.0
         return AMBatch(signals, sig_len, frm_len, pny, pny_len, han, han_len,
                        weights, bucket_frames)
 

@@ -89,10 +89,9 @@ class Pipeline:
                     topk=self.beam_width, blank_id=-1,
                     max_decode_len=self.lm_max_len)
             else:
-                pny_ids, pny_len = ctc_greedy_decode(logits, in_len,
-                                                     blank_id=-1)
-                pny_ids = pny_ids[:, : self.lm_max_len]
-                pny_len = jnp.minimum(pny_len, self.lm_max_len)
+                pny_ids, pny_len = ctc_greedy_decode(
+                    logits, in_len, blank_id=-1,
+                    max_output_len=self.lm_max_len)
             han_ids = None
             if self.lm_model is not None:
                 # the reference feeds the decoded dense pinyin ids straight

@@ -64,12 +64,8 @@ class AMLMJoint(nn.Module):
                                     pinyin_lengths, blank_id=-1))
         # decode boundary: non-differentiable, truncate/pad to LM length
         dec, dec_len = ctc_greedy_decode(jax.lax.stop_gradient(am_logits),
-                                         in_len, blank_id=-1)
-        l = hanzi.shape[1]
-        if dec.shape[1] >= l:
-            dec = dec[:, :l]
-        else:
-            dec = jnp.pad(dec, ((0, 0), (0, l - dec.shape[1])))
+                                         in_len, blank_id=-1,
+                                         max_output_len=hanzi.shape[1])
         lm_logits = self.lm(dec, train)
         lm_loss, lm_acc = lm_loss_and_acc(lm_logits, hanzi)
         return {

@@ -1,0 +1,185 @@
+"""Fused log-mel spectrogram Pallas kernel.
+
+Replaces the XLA pipeline frame-gather -> rFFT/DFT -> power -> mel ->
+log with ONE kernel per (utterance, 128-frame tile), and never
+materializes the 2.5x-expanded frame matrix anywhere — not even in VMEM:
+
+With hop 160 = one sublane row of a [rows, 160] view of the signal,
+frame f is rows (f, f+1) plus the first 80 samples of row f+2. So the
+windowed DFT factors into a sum of three matmuls against row-blocks of
+the DFT bases:
+
+    frames @ Basis = A @ Basis[0:160] + B @ Basis[160:320] + C80 @ Basis[320:400]
+
+where A/B/C are the same signal tile shifted by 0/1/2 rows. The kernel
+DMAs the three shifted views (HBM -> VMEM, offset-0 layouts so Mosaic is
+happy), runs 6 MXU matmuls (cos+sin x 3 shifts), squares, projects through
+the mel bank and takes the log — all in VMEM. HBM traffic is signal in
+(~3x 4 bytes/sample) + log-mel out.
+
+Per-utterance CMVN stays outside (it needs global-time statistics; one
+cheap fused elementwise pass).
+
+Geometry fixed to the reference front-end (wav_util.py:22-31 semantics):
+win 400, hop 160, nfft 512, fs 16k. Tile = 128 frames.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from asr_dfcnn_transformer_tpu.audio.fbank import (
+    FbankConfig,
+    _dft_bases_np,
+    mel_filterbank,
+)
+
+TILE_T = 320          # frames per kernel step (1600 = 5 tiles, zero waste)
+HOP = 160
+ROW = 256             # signal rows are padded 160 -> 256 lanes (DMA-aligned)
+WIN = 400
+_EPS = float(np.finfo(np.float64).eps)
+
+
+def _kernel(sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf, sems):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+    # double-buffered manual DMA: each grid step waits on the copy its
+    # predecessor launched and prefetches the next tile, so HBM reads
+    # overlap the matmuls. One aligned DMA of TILE_T+8 rows (sublane
+    # offsets must be provably 8-divisible); the +1/+2 row shifts happen
+    # in VMEM via roll.
+    k = b * nt + i
+    slot = jax.lax.rem(k, 2)
+
+    def dma(bb, ii, s):
+        return pltpu.make_async_copy(
+            sig_ref.at[bb, pl.ds(ii * TILE_T, TILE_T + 8), :],
+            buf.at[s], sems.at[s])
+
+    @pl.when(k == 0)
+    def _():
+        dma(b, i, slot).start()
+
+    nk = k + 1
+
+    @pl.when(nk < nb * nt)
+    def _():
+        dma(nk // nt, jax.lax.rem(nk, nt), 1 - slot).start()
+
+    dma(b, i, slot).wait()
+    rows = buf[slot]
+    n_rows = TILE_T + 8
+    a = rows[0:TILE_T]
+    # pltpu.roll wants non-negative circular shifts: rolling by L-k moves
+    # row i+k to position i
+    b_rows = pltpu.roll(rows, shift=n_rows - 1, axis=0)[0:TILE_T]
+    c_rows = pltpu.roll(rows, shift=n_rows - 2, axis=0)[0:TILE_T]
+
+    def dft(basis_ref):
+        # rows are 160 real samples zero-padded to 256 lanes; contracting
+        # the full 256 against 256-row basis blocks (zeros past 160) keeps
+        # every matmul operand tile-aligned
+        return (
+            jnp.dot(a, basis_ref[0:ROW, :],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(b_rows, basis_ref[ROW:2 * ROW, :],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(c_rows, basis_ref[2 * ROW:3 * ROW, :],
+                      preferred_element_type=jnp.float32))
+
+    re = dft(cos_ref)
+    im = dft(sin_ref)
+    nfft = 2 * (cos_ref.shape[1] - 1)
+    power = (re * re + im * im) * (1.0 / nfft)
+    feat = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.log(jnp.maximum(feat, _EPS))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_frames", "interpret"))
+def pallas_log_mel(signals: jnp.ndarray, out_frames: int,
+                   cfg: FbankConfig = FbankConfig(),
+                   interpret: bool = False) -> jnp.ndarray:
+    """[B, S] pre-emphasized signals -> [B, out_frames, nfilt] log-mel.
+
+    ``out_frames`` is rounded up to a multiple of 128 internally and the
+    result sliced back. The caller is responsible for pre-emphasis and for
+    masking padding (audio.fbank.batched_fbank does both).
+    """
+    assert cfg.win_len == WIN and cfg.hop == HOP, "kernel fixed to 400/160"
+    b, s = signals.shape
+    t_tiles = -(-out_frames // TILE_T)
+    rows_total = t_tiles * TILE_T + 8   # +8: aligned-DMA over-read room
+    need = rows_total * HOP
+    if s < need:
+        signals = jnp.pad(signals, ((0, 0), (0, need - s)))
+    else:
+        signals = signals[:, :need]
+    sig_rows = signals.reshape(b, rows_total, HOP)
+    # pad each 160-sample row to 256 lanes so HBM->VMEM DMA slices are
+    # tile-aligned (Mosaic requires the minor dim % 128 == 0)
+    sig_rows = jnp.pad(sig_rows, ((0, 0), (0, 0), (0, ROW - HOP)))
+
+    cos_b, sin_b = _dft_bases_np(cfg.win_len, cfg.nfft)
+    mel = mel_filterbank(cfg)
+    nbins = cos_b.shape[1]
+
+    def block_basis(basis):
+        # [400, nbins] -> [3*ROW, nbins]: per-row-shift blocks, each the
+        # basis rows that multiply that row's 160 real samples, zero-padded
+        # to 256 so the in-kernel contraction is over aligned tiles
+        blocks = []
+        for blk in range(3):
+            lo = blk * HOP
+            hi = min(WIN, lo + HOP)
+            part = basis[lo:hi]
+            pad = np.zeros((ROW - part.shape[0], basis.shape[1]),
+                           basis.dtype)
+            blocks.append(np.concatenate([part, pad], axis=0))
+        return np.concatenate(blocks, axis=0)
+
+    cos_blocks = block_basis(cos_b)
+    sin_blocks = block_basis(sin_b)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b, t_tiles),
+        in_specs=[
+            # ANY-space inputs must be whole-array blocks; the kernel DMAs
+            # the (batch, tile) slices itself via program_id
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3 * ROW, nbins), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * ROW, nbins), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbins, cfg.nfilt), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_T, cfg.nfilt),
+                               lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_tiles * TILE_T, cfg.nfilt),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_T + 8, ROW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_tiles * TILE_T * WIN * nbins * 2
+            + 2 * b * t_tiles * TILE_T * nbins * cfg.nfilt,
+            bytes_accessed=3 * b * need * 4
+            + b * t_tiles * TILE_T * cfg.nfilt * 4,
+            transcendentals=b * t_tiles * TILE_T * cfg.nfilt,
+        ),
+        interpret=interpret,
+    )(sig_rows, jnp.asarray(cos_blocks), jnp.asarray(sin_blocks),
+      jnp.asarray(mel))
+    return out[:, :out_frames, :]

@@ -231,10 +231,10 @@ class AMTrainer(_TrainerBase):
             in_len = logit_lengths(signal_lengths // 160, logits.shape[1])
             losses = ctc_loss(logits, in_len, pinyin, pinyin_lengths,
                               blank_id=-1)
-            decoded, dec_len = ctc_greedy_decode(logits, in_len, blank_id=-1)
-            dist = batched_edit_distance(decoded[:, : pinyin.shape[1]],
-                                         jnp.minimum(dec_len,
-                                                     pinyin.shape[1]),
+            decoded, dec_len = ctc_greedy_decode(
+                logits, in_len, blank_id=-1,
+                max_output_len=pinyin.shape[1])
+            dist = batched_edit_distance(decoded, dec_len,
                                          pinyin, pinyin_lengths)
             ler = dist.astype(jnp.float32) / jnp.maximum(
                 pinyin_lengths.astype(jnp.float32), 1.0)
@@ -373,10 +373,11 @@ class AttenTrainer(_TrainerBase):
                 feats, valid, train=False)
             losses = ctc_loss(logits, in_len, hanzi, hanzi_lengths,
                               blank_id=-1)
-            decoded, dec_len = ctc_greedy_decode(logits, in_len, blank_id=-1)
-            dist = batched_edit_distance(
-                decoded[:, : hanzi.shape[1]],
-                jnp.minimum(dec_len, hanzi.shape[1]), hanzi, hanzi_lengths)
+            decoded, dec_len = ctc_greedy_decode(
+                logits, in_len, blank_id=-1,
+                max_output_len=hanzi.shape[1])
+            dist = batched_edit_distance(decoded, dec_len, hanzi,
+                                         hanzi_lengths)
             ler = dist.astype(jnp.float32) / jnp.maximum(
                 hanzi_lengths.astype(jnp.float32), 1.0)
             return {"loss": _weighted_mean(losses, weights),

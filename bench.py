@@ -27,7 +27,7 @@ def main():
     from asr_dfcnn_transformer_tpu.ops import ctc_greedy_decode
 
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
-        if "--batch" in sys.argv else 32
+        if "--batch" in sys.argv else 128
     frames = 1600
     n_samples = (frames - 1) * 160 + 400
     acoustic_vocab, language_vocab = 1536, 6345
@@ -45,8 +45,8 @@ def main():
         logits = am.apply(am_vars, feats[..., None], train=False)
         in_len = jnp.minimum(logits.shape[1],
                              signal_lengths // 160 // 8 + 1).astype(jnp.int32)
-        pny_ids, pny_len = ctc_greedy_decode(logits, in_len, blank_id=-1)
-        pny_ids = pny_ids[:, :64]
+        pny_ids, pny_len = ctc_greedy_decode(logits, in_len, blank_id=-1,
+                                             max_output_len=64)
         lm_logits = lm.apply(lm_vars, pny_ids, train=False)
         return pny_ids, pny_len, jnp.argmax(lm_logits, axis=-1)
 
