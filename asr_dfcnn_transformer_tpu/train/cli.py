@@ -51,7 +51,8 @@ def _build_parser():
         sp.add_argument("--platform", default=None,
                         help="force jax platform (e.g. cpu)")
 
-    for name in ("am", "lm", "atten", "e2e", "joint", "eval", "eval-lm"):
+    for name in ("am", "lm", "atten", "e2e", "joint", "eval", "eval-lm",
+                 "eval-e2e"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "am":
@@ -59,7 +60,7 @@ def _build_parser():
                             choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
                                      "keras_dfcnn", "bigru"])
             sp.add_argument("--augment-noise", action="store_true")
-        if name == "eval":
+        if name in ("eval", "eval-e2e"):
             sp.add_argument("--decode", default="greedy",
                             choices=["greedy", "beam"])
             sp.add_argument("--beam-width", type=int, default=8)
@@ -77,7 +78,8 @@ def _setup_platform(args):
         jax.config.update("jax_platforms", args.platform)
 
 
-def _data(args, batch_size, bucket_bounds=(400, 800, 1200, 1600)):
+def _data(args, batch_size, bucket_bounds=(400, 800, 1200, 1600),
+          e2e_vocab: bool = False):
     from asr_dfcnn_transformer_tpu.core import vocab
     from asr_dfcnn_transformer_tpu.data import (
         DataLoader, load_manifests, make_synthetic_corpus)
@@ -92,7 +94,10 @@ def _data(args, batch_size, bucket_bounds=(400, 800, 1200, 1600)):
         corpora = tuple(args.corpora.split(","))
         if data_dir is None:
             sys.exit("--data-dir required (or use --synthetic N)")
-    av, lv = vocab.acoustic_vocab(), vocab.language_vocab()
+    av = vocab.acoustic_vocab()
+    # the e2e model's hanzi id space has pad/sos/eos FIRST (6347,
+    # end2end/data_loader.py:324-333) — chars shift by +2 vs the LM vocab
+    lv = vocab.e2e_language_vocab() if e2e_vocab else vocab.language_vocab()
 
     def loader(mode, shuffle):
         m = load_manifests(data_dir, mode, corpora=corpora, shuffle=shuffle,
@@ -200,14 +205,12 @@ def cmd_atten(args):
 
 
 def cmd_e2e(args):
-    from asr_dfcnn_transformer_tpu.core import vocab as vocab_mod
     from asr_dfcnn_transformer_tpu.data.loader import prefetch
     from asr_dfcnn_transformer_tpu.models import SpeechTransformer
     from asr_dfcnn_transformer_tpu.train import E2ETrainer
     bsz = args.batch_size or 8
     bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
-    loader, av, lv = _data(args, bsz, bounds)
-    ev = vocab_mod.e2e_language_vocab()
+    loader, av, ev = _data(args, bsz, bounds, e2e_vocab=True)
     train_dl = loader("train", True)
     if args.small:
         model = SpeechTransformer(ev.size, d_model=32, num_heads=4,
@@ -246,6 +249,58 @@ def cmd_joint(args):
                  epochs=args.epochs or 10,
                  rng=jax.random.PRNGKey(args.seed))
     print("joint training done:", out)
+
+
+def cmd_eval_e2e(args):
+    """Decode the test set with the end-to-end speech Transformer
+    (AR greedy or length-penalized beam) and report hanzi accuracy under
+    the clipped-edit-distance protocol — the evaluation the reference's
+    `eval()` stub never implemented (end2end/model.py:130-132)."""
+    import numpy as np
+    from asr_dfcnn_transformer_tpu import models
+    from asr_dfcnn_transformer_tpu.ops.edit_distance import edit_distance
+    from asr_dfcnn_transformer_tpu.train import E2ETrainer
+    bsz = args.batch_size or 8
+    bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+    loader, av, ev = _data(args, bsz, bounds, e2e_vocab=True)
+    test_dl = loader("test", False)
+    if args.small:
+        model = models.SpeechTransformer(ev.size, d_model=32, num_heads=4,
+                                         num_enc_blocks=1, num_dec_blocks=1,
+                                         prenet_channels=8, dropout_rate=0.0,
+                                         dtype=jnp.float32)
+    else:
+        model = models.SpeechTransformer(ev.size)
+    tr = E2ETrainer(model, args.workdir,
+                    feature_dim=80 if not args.small else 40)
+    first = next(test_dl.am_batches(bsz, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), first))
+    variables = {"params": tr.state.params}
+    if tr.state.batch_stats:
+        variables["batch_stats"] = tr.state.batch_stats
+    err = tot = n_utts = 0
+    for batch in test_dl.am_batches(bsz, shuffle=False):
+        feats, valid = tr._features(jnp.asarray(batch.signals),
+                                    jnp.asarray(batch.signal_lengths),
+                                    batch.bucket_frames)
+        if args.decode == "beam":
+            ids, lens, _ = models.beam_decode(model, variables, feats, valid,
+                                              beam_size=args.beam_width)
+        else:
+            ids, lens = models.greedy_decode(model, variables, feats, valid)
+        ids, lens = np.asarray(ids), np.asarray(lens)
+        for j in range(ids.shape[0]):
+            if batch.weights[j] == 0:
+                continue
+            n_utts += 1
+            gt = list(batch.hanzi[j][: batch.hanzi_lengths[j]])
+            pred = list(ids[j][: lens[j]])
+            d = edit_distance(gt, pred)
+            err += min(d, len(gt))
+            tot += len(gt)
+    acc = 1.0 - err / max(tot, 1)
+    print(f"*[Test Result] e2e 汉字 word accuracy ratio: {acc * 100:.2f}% "
+          f"({n_utts} utts, decode={args.decode})")
 
 
 def cmd_eval_lm(args):
@@ -310,7 +365,7 @@ def main(argv=None):
     _setup_platform(args)
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
      "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,
-     "infer": cmd_infer}[args.cmd](args)
+     "eval-e2e": cmd_eval_e2e, "infer": cmd_infer}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -63,3 +63,11 @@ def test_cli_eval_lm(workdir, capsys):
     out = capsys.readouterr().out
     assert "汉字 word accuracy ratio" in out
     assert os.path.exists(os.path.join(workdir, "pred", "pred_lm_log"))
+
+
+def test_cli_eval_e2e(workdir, capsys):
+    # requires the e2e checkpoint from test_cli_e2e_train (same workdir)
+    cli.main(["eval-e2e", "--workdir", workdir, "--synthetic", "16",
+              "--small", "--batch-size", "8"])
+    out = capsys.readouterr().out
+    assert "e2e 汉字 word accuracy ratio" in out
