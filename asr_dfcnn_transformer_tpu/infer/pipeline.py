@@ -74,6 +74,46 @@ class Pipeline:
         self.lm_max_len = lm_max_len
         self._infer = self._build_infer()
 
+    @classmethod
+    def from_checkpoints(cls, workdir: str, am_model, lm_model=None, *,
+                         acoustic_vocab: Vocab,
+                         language_vocab: Optional[Vocab] = None,
+                         use_best: bool = True, **kw) -> "Pipeline":
+        """Build a pipeline from a training workdir's orbax checkpoints
+        (the best-metric copy when available, else latest)."""
+        import jax.random as jrandom
+
+        from asr_dfcnn_transformer_tpu.train import AMTrainer, LMTrainer
+
+        amt = AMTrainer(am_model, workdir)
+        zero = jnp.zeros((1, 128, 200, 1), jnp.float32)
+        am_template = jax.tree.map(
+            np.asarray,
+            amt._make_state(am_model.init(jrandom.PRNGKey(0), zero,
+                                          train=False)))
+        am_state = (use_best and amt.ckpt.restore_best(am_template)) or \
+            amt.ckpt.restore_latest(am_template)
+        if am_state is None:
+            raise FileNotFoundError(f"no AM checkpoint under {workdir}")
+        am_vars = {"params": am_state.params,
+                   "batch_stats": am_state.batch_stats}
+        lm_vars = None
+        if lm_model is not None:
+            lmt = LMTrainer(lm_model, workdir)
+            lm_template = jax.tree.map(
+                np.asarray,
+                lmt._make_state(lm_model.init(
+                    jrandom.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                    train=False)))
+            lm_state = (use_best and lmt.ckpt.restore_best(lm_template)) or \
+                lmt.ckpt.restore_latest(lm_template)
+            if lm_state is None:
+                raise FileNotFoundError(f"no LM checkpoint under {workdir}")
+            lm_vars = {"params": lm_state.params}
+        return cls(am_model, am_vars, lm_model, lm_vars,
+                   acoustic_vocab=acoustic_vocab,
+                   language_vocab=language_vocab, **kw)
+
     def _build_infer(self):
         @functools.partial(jax.jit, static_argnames=("bucket_frames",))
         def run(signals, signal_lengths, bucket_frames):
