@@ -73,10 +73,28 @@ class SEDFCNN(nn.Module):
     head_features: int = 256
     dropout_rate: float = 0.3
     se_first: bool = False
+    # Performance variant (NOT weight-parity with the reference): fold a
+    # 2x2 input patch into channels before the conv stack. The first two
+    # stages then run at quarter resolution with 4 input channels — same
+    # final [B, T/8, F/8, C] geometry (use stage_pool with exactly two
+    # True entries), ~2.7x fewer conv FLOPs, and the C=1 first conv the
+    # MXU hates disappears.
+    space_to_depth: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+
+    @classmethod
+    def fast(cls, vocab_size: int, **kw):
+        """Space-to-depth throughput variant with matched geometry."""
+        kw.setdefault("stage_pool", (True, True, False, False, False))
+        return cls(vocab_size, space_to_depth=True, **kw)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.space_to_depth:
+            b, t, f, c = x.shape
+            x = x.reshape(b, t // 2, 2, f // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, t // 2, f // 2,
+                                                      4 * c)
         for feats, pool, ratio in zip(self.stage_features, self.stage_pool,
                                       self.se_ratio):
             h = ConvBnCell(feats, pool=pool, pool_type="avg",

@@ -58,7 +58,8 @@ def _build_parser():
         if name == "am":
             sp.add_argument("--model", default="se_dfcnn",
                             choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
-                                     "keras_dfcnn", "bigru"])
+                                     "se_dfcnn_fast", "keras_dfcnn",
+                                     "bigru"])
             sp.add_argument("--augment-noise", action="store_true")
         if name in ("eval", "eval-e2e"):
             sp.add_argument("--decode", default="greedy",
@@ -128,6 +129,8 @@ def _am_model(name, vocab_size, small, dtype=jnp.bfloat16):
         return models.BiGRUCTC(vocab_size, dtype=dtype)
     if name == "keras_dfcnn":
         return models.KerasDFCNN(vocab_size, dtype=dtype)
+    if name == "se_dfcnn_fast":
+        return models.SEDFCNN.fast(vocab_size, dtype=dtype)
     return models.SEDFCNN(vocab_size, se_first=(name == "se_dfcnn_pre"),
                           dtype=dtype)
 

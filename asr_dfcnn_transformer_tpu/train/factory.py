@@ -38,6 +38,9 @@ def build_am_model(cfg: Config):
     if name == "keras_dfcnn":
         return models.KerasDFCNN(av.size, dense_units=cfg.am.dense_units,
                                  dropout_rate=cfg.am.dropout_rate, dtype=d)
+    if name == "se_dfcnn_fast":
+        return models.SEDFCNN.fast(av.size, se_ratio=tuple(cfg.am.se_ratio),
+                                   dropout_rate=cfg.am.dropout_rate, dtype=d)
     if name in ("se_dfcnn", "se_dfcnn_pre"):
         return models.SEDFCNN(av.size, se_ratio=tuple(cfg.am.se_ratio),
                               dropout_rate=cfg.am.dropout_rate,

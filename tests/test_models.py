@@ -180,3 +180,14 @@ def test_am_lm_joint(rng):
                   train=False)
     assert np.isfinite(float(out["loss"]))
     assert out["decoded_pinyin"].shape[0] == 2
+
+
+def test_sedfcnn_space_to_depth_geometry(rng):
+    from asr_dfcnn_transformer_tpu import models as M
+    m = M.SEDFCNN.fast(vocab_size=50, stage_features=(4, 4, 8, 8, 8),
+                       head_features=8, dtype=jnp.float32)
+    x = _feats()  # [2, 64, 40, 1]
+    params = m.init(rng, x, train=False)
+    y = m.apply(params, x, train=False)
+    # same final geometry as the standard stack: T/8 frames
+    assert y.shape == (2, 8, 50)
