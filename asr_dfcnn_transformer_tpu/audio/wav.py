@@ -10,7 +10,6 @@ the log-filterbank additively per bin and the per-utterance CMVN removes it.
 
 from __future__ import annotations
 
-import struct
 import wave
 
 import numpy as np

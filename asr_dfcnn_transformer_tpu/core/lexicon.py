@@ -11,7 +11,7 @@ simple rule-based fallbacks when no LM checkpoint is available.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from asr_dfcnn_transformer_tpu.core import constants
 

@@ -17,7 +17,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from asr_dfcnn_transformer_tpu.audio.wav import write_wav
-from asr_dfcnn_transformer_tpu.core import constants, vocab
+from asr_dfcnn_transformer_tpu.core import vocab
 
 
 def make_synthetic_corpus(root: str,

@@ -28,7 +28,7 @@ valid logit length = min(200, frames//8 + 1) (data_loader.py:132).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ TPU-first re-designs of the reference's op library
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ Re-design of the reference's ``end2end/model.py:174-370``:
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -14,7 +14,6 @@ on strings (``util/utils.py:43-53``, eval CER) and in-graph
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

@@ -22,7 +22,6 @@ all processes; nothing in this module assumes a single process.
 from __future__ import annotations
 
 import re
-from typing import Optional
 
 import jax
 import numpy as np

@@ -18,7 +18,6 @@ transformers via parallel.param_shardings); XLA inserts the gradient psum.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import json
 import os
@@ -46,7 +45,6 @@ from asr_dfcnn_transformer_tpu.ops import (
     ctc_loss,
 )
 from asr_dfcnn_transformer_tpu.parallel import (
-    batch_sharding,
     make_mesh,
     replicated,
     shard_batch,
