@@ -182,6 +182,10 @@ class MultiHeadAttention(nn.Module):
         if mask is not None:
             scores = scores + mask
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        # recoverable via capture_intermediates — the equivalent of the
+        # reference's attention-heatmap TensorBoard summary
+        # (transformer.py:105-106)
+        self.sow("intermediates", "attention", probs)
         probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
