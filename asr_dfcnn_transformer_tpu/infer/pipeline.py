@@ -34,6 +34,7 @@ from asr_dfcnn_transformer_tpu.audio.fbank import FbankConfig
 from asr_dfcnn_transformer_tpu.core import constants
 from asr_dfcnn_transformer_tpu.core.vocab import Vocab
 from asr_dfcnn_transformer_tpu.models import logit_lengths
+from asr_dfcnn_transformer_tpu.models.dfcnn import frames_from_samples
 from asr_dfcnn_transformer_tpu.ops import ctc_beam_search_decode, ctc_greedy_decode
 from asr_dfcnn_transformer_tpu.ops.edit_distance import edit_distance
 
@@ -122,7 +123,8 @@ class Pipeline:
                                      out_frames=bucket_frames)
             logits = self.am_model.apply(self.am_variables, feats[..., None],
                                          train=False)
-            in_len = logit_lengths(signal_lengths // 160, logits.shape[1])
+            in_len = logit_lengths(frames_from_samples(signal_lengths),
+                                   logits.shape[1])
             if self.decode == "beam":
                 pny_ids, pny_len, _ = ctc_beam_search_decode(
                     logits, in_len, beam_width=self.beam_width,

@@ -148,3 +148,11 @@ def logit_lengths(frame_lengths: jnp.ndarray,
                   max_logit_len: int = 200) -> jnp.ndarray:
     """Valid CTC input length: min(cap, frames//8 + 1) (data_loader.py:132)."""
     return jnp.minimum(max_logit_len, frame_lengths // 8 + 1).astype(jnp.int32)
+
+
+def frames_from_samples(num_samples: jnp.ndarray, win: int = 400,
+                        hop: int = 160) -> jnp.ndarray:
+    """Exact fbank frame count per signal (python_speech_features framing:
+    1 if S <= win else 1 + ceil((S - win) / hop)) — jnp elementwise."""
+    n = 1 + jnp.ceil((num_samples - win) / hop).astype(jnp.int32)
+    return jnp.where(num_samples <= win, 1, n)

@@ -36,7 +36,10 @@ from asr_dfcnn_transformer_tpu.audio.fbank import FbankConfig
 from asr_dfcnn_transformer_tpu.audio.lfr import batched_lfr
 from asr_dfcnn_transformer_tpu.core import constants
 from asr_dfcnn_transformer_tpu.data.loader import AMBatch, LMBatch
-from asr_dfcnn_transformer_tpu.models import logit_lengths
+from asr_dfcnn_transformer_tpu.models.dfcnn import (
+    frames_from_samples,
+    logit_lengths,
+)
 from asr_dfcnn_transformer_tpu.models.speech_transformer import e2e_loss
 from asr_dfcnn_transformer_tpu.models.transformer_lm import lm_loss_and_acc
 from asr_dfcnn_transformer_tpu.ops import (
@@ -195,7 +198,7 @@ class AMTrainer(_TrainerBase):
                     {"params": params, "batch_stats": state.batch_stats},
                     feats, train=True, mutable=["batch_stats"],
                     rngs={"dropout": rng})
-                in_len = logit_lengths(signal_lengths // 160,
+                in_len = logit_lengths(frames_from_samples(signal_lengths),
                                        logits.shape[1])
                 losses = ctc_loss(logits, in_len, pinyin, pinyin_lengths,
                                   blank_id=-1)
@@ -226,7 +229,8 @@ class AMTrainer(_TrainerBase):
             logits = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 feats, train=False)
-            in_len = logit_lengths(signal_lengths // 160, logits.shape[1])
+            in_len = logit_lengths(frames_from_samples(signal_lengths),
+                                   logits.shape[1])
             losses = ctc_loss(logits, in_len, pinyin, pinyin_lengths,
                               blank_id=-1)
             decoded, dec_len = ctc_greedy_decode(
@@ -565,7 +569,8 @@ class JointTrainer(_TrainerBase):
                                           bucket_frames)
                 out, updates = self.model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    feats, signal_lengths // 160, pinyin, pinyin_lengths,
+                    feats, frames_from_samples(signal_lengths), pinyin,
+                    pinyin_lengths,
                     hanzi, train=True, mutable=["batch_stats"],
                     rngs={"dropout": rng})
                 return out["loss"], (out, updates)

@@ -43,8 +43,10 @@ def main():
     def forward(signals, signal_lengths):
         feats, _ = batched_fbank(signals, signal_lengths, out_frames=frames)
         logits = am.apply(am_vars, feats[..., None], train=False)
-        in_len = jnp.minimum(logits.shape[1],
-                             signal_lengths // 160 // 8 + 1).astype(jnp.int32)
+        from asr_dfcnn_transformer_tpu.models.dfcnn import (
+            frames_from_samples, logit_lengths)
+        in_len = logit_lengths(frames_from_samples(signal_lengths),
+                               logits.shape[1])
         pny_ids, pny_len = ctc_greedy_decode(logits, in_len, blank_id=-1,
                                              max_output_len=64)
         lm_logits = lm.apply(lm_vars, pny_ids, train=False)
