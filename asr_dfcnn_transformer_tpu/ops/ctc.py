@@ -69,6 +69,10 @@ def ctc_loss(logits: jnp.ndarray,
     ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
     can_skip = (pos >= 2) & (ext != blank) & (ext != ext_m2)
 
+    # NOTE: a one-shot pre-gather of all emissions ([B,T,S] from [B,T,V])
+    # was measured SLOWER than this per-step gather on v5e — TPU gathers
+    # along the minor (lane) dimension do not vectorize, so total gather
+    # cost is the same while the big materialization adds HBM traffic.
     def emit(t_idx):
         # [B, S] log prob of emitting ext symbol at time t
         return jnp.take_along_axis(lp[:, t_idx, :], ext, axis=1)

@@ -130,11 +130,14 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
     mul1 = jnp.uint32(2654435761)
     mul2 = jnp.uint32(40503)
 
-    def step(state, t_idx):
+    # pre-compute per-step quantities once (vectorized over T) and feed the
+    # scan through xs — no dynamic slicing of [B, T, V] inside the loop
+    top_lp_all, top_ids_all = jax.lax.top_k(lp_all, k)      # [B, T, K]
+    lp_blank_all = lp_all[:, :, blank]                      # [B, T]
+
+    def step(state, xs):
         prefixes, plen, h1, h2, pb, pnb = state
-        lp = lp_all[:, t_idx, :]                      # [B, V]
-        top_lp, top_ids = jax.lax.top_k(lp, k)        # [B, K]
-        lp_blank = lp[:, blank]                       # [B]
+        lp, top_lp, top_ids, lp_blank, t_idx = xs
 
         last = jnp.take_along_axis(
             prefixes, jnp.maximum(plen - 1, 0)[..., None], axis=2)[..., 0]
@@ -234,8 +237,12 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
                 f(new_pb, pb), f(new_pnb, pnb)), None
 
     state0 = (prefixes0, plen0, h10, h20, pb0, pnb0)
-    (prefixes, plen, _, _, pb, pnb), _ = jax.lax.scan(
-        step, state0, jnp.arange(t))
+    xs = (jnp.moveaxis(lp_all, 1, 0),
+          jnp.moveaxis(top_lp_all, 1, 0),
+          jnp.moveaxis(top_ids_all, 1, 0),
+          jnp.moveaxis(lp_blank_all, 1, 0),
+          jnp.arange(t))
+    (prefixes, plen, _, _, pb, pnb), _ = jax.lax.scan(step, state0, xs)
 
     total = jnp.logaddexp(pb, pnb)
     if return_all:
