@@ -66,6 +66,12 @@ def _build_parser():
                             choices=["greedy", "beam"])
             sp.add_argument("--beam-width", type=int, default=8)
             sp.add_argument("--limit", type=int, default=None)
+        if name == "eval":
+            sp.add_argument("--am-hdf5", default=None,
+                            help="load the acoustic model from a Keras "
+                                 ".hdf5 weight file (cnn_ctc layout, e.g. "
+                                 "the reference's model_05.7.64.hdf5) "
+                                 "instead of an orbax checkpoint")
 
     sp = sub.add_parser("infer")
     common(sp)
@@ -323,19 +329,30 @@ def _load_pipeline(args, decode="greedy", beam_width=8):
     bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
     loader, av, lv = _data(args, bsz, bounds)
     test_dl = loader("test", False)
-    am = _am_model(getattr(args, "model", "se_dfcnn"), av.size, args.small)
     lm = _lm_model(av.size, lv.size, args.small)
-    amt = AMTrainer(am, args.workdir)
     lmt = LMTrainer(lm, args.workdir)
-    first = next(test_dl.am_batches(bsz, shuffle=False))
-    am_state = amt.restore_or_init(lambda: amt.init_state(
-        jax.random.PRNGKey(0), first))
     lm_first = next(test_dl.lm_batches(bsz, shuffle=False))
     lm_state = lmt.restore_or_init(lambda: lmt.init_state(
         jax.random.PRNGKey(1), lm_first))
+
+    if getattr(args, "am_hdf5", None):
+        from asr_dfcnn_transformer_tpu import models
+        from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
+            load_keras_dfcnn_hdf5)
+        am = models.KerasDFCNN(vocab_size=av.size)
+        am_vars = jax.tree.map(jnp.asarray,
+                               load_keras_dfcnn_hdf5(args.am_hdf5, av.size))
+    else:
+        am = _am_model(getattr(args, "model", "se_dfcnn"), av.size,
+                       args.small)
+        amt = AMTrainer(am, args.workdir)
+        first = next(test_dl.am_batches(bsz, shuffle=False))
+        am_state = amt.restore_or_init(lambda: amt.init_state(
+            jax.random.PRNGKey(0), first))
+        am_vars = {"params": am_state.params,
+                   "batch_stats": am_state.batch_stats}
     pipe = Pipeline(
-        am, {"params": am_state.params, "batch_stats": am_state.batch_stats},
-        lm, {"params": lm_state.params},
+        am, am_vars, lm, {"params": lm_state.params},
         acoustic_vocab=av, language_vocab=lv, decode=decode,
         beam_width=beam_width)
     return pipe, test_dl, bsz

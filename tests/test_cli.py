@@ -71,3 +71,50 @@ def test_cli_eval_e2e(workdir, capsys):
               "--small", "--batch-size", "8"])
     out = capsys.readouterr().out
     assert "e2e 汉字 word accuracy ratio" in out
+
+
+def test_cli_eval_with_hdf5_weights(workdir):
+    import numpy as np
+    from tests.test_hdf5_import import _write_fake_keras
+    import h5py
+    # fabricate a cnn_ctc-layout weight file at full vocab/feature dims
+    path = os.path.join(workdir, "model_fake.hdf5")
+    rng = np.random.default_rng(0)
+    chans = [(1, 32), (32, 32), (32, 64), (64, 64), (64, 128), (128, 128),
+             (128, 128), (128, 128), (128, 128), (128, 128)]
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        names = []
+        for i, (cin, cout) in enumerate(chans):
+            ln = "conv2d" if i == 0 else f"conv2d_{i}"
+            g = mw.create_group(ln)
+            wn = [f"{ln}/kernel:0", f"{ln}/bias:0"]
+            g.create_dataset(wn[0], data=rng.standard_normal(
+                (3, 3, cin, cout)).astype(np.float32) * 0.05)
+            g.create_dataset(wn[1], data=np.zeros(cout, np.float32))
+            g.attrs["weight_names"] = np.array([n.encode() for n in wn])
+            names.append(ln)
+            bn = "batch_normalization" if i == 0 \
+                else f"batch_normalization_{i}"
+            g = mw.create_group(bn)
+            wn = [f"{bn}/gamma:0", f"{bn}/beta:0", f"{bn}/moving_mean:0",
+                  f"{bn}/moving_variance:0"]
+            g.create_dataset(wn[0], data=np.ones(cout, np.float32))
+            g.create_dataset(wn[1], data=np.zeros(cout, np.float32))
+            g.create_dataset(wn[2], data=np.zeros(cout, np.float32))
+            g.create_dataset(wn[3], data=np.ones(cout, np.float32))
+            g.attrs["weight_names"] = np.array([n.encode() for n in wn])
+            names.append(bn)
+        for i, (din, dout) in enumerate([(128 * 25, 128), (128, 1536)]):
+            ln = "dense" if i == 0 else f"dense_{i}"
+            g = mw.create_group(ln)
+            wn = [f"{ln}/kernel:0", f"{ln}/bias:0"]
+            g.create_dataset(wn[0], data=rng.standard_normal(
+                (din, dout)).astype(np.float32) * 0.05)
+            g.create_dataset(wn[1], data=np.zeros(dout, np.float32))
+            g.attrs["weight_names"] = np.array([n.encode() for n in wn])
+            names.append(ln)
+        mw.attrs["layer_names"] = np.array([n.encode() for n in names])
+    cli.main(["eval", "--workdir", workdir, "--synthetic", "16", "--small",
+              "--batch-size", "8", "--am-hdf5", path])
+    assert os.path.exists(os.path.join(workdir, "pred", "pred_log"))
