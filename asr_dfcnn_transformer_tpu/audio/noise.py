@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
@@ -26,13 +27,20 @@ def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
 
     alpha may be a traced scalar. Normalization matches noise.py:30-31:
     subtract mean, divide by max (signed max, as in the reference).
+
+    The FFT runs at the next power of two >= length and the result is
+    truncated: XLA's TPU FFT falls back to a dense [N, N] DFT matmul for
+    large prime factors — at typical utterance lengths (e.g. 256240 =
+    2^4*5*3203) that is a >100 TB allocation. Power-of-two lengths keep it
+    a real FFT; the spectral shape is unchanged.
     """
-    white = jax.random.normal(key, (length,), dtype=jnp.float32)
+    n_fft = 1 << max(int(np.ceil(np.log2(max(length, 2)))), 1)
+    white = jax.random.normal(key, (n_fft,), dtype=jnp.float32)
     spec = jnp.fft.rfft(white)
     # Reference shapes bin i (0-based) by (i+1)**alpha over the half spectrum.
     k = jnp.arange(1, spec.shape[0] + 1, dtype=jnp.float32)
     shaped = spec * (k ** alpha)
-    noise = jnp.fft.irfft(shaped, n=length)
+    noise = jnp.fft.irfft(shaped, n=n_fft)[:length]
     noise = noise - jnp.mean(noise)
     noise = noise / jnp.max(noise)
     return noise.astype(jnp.float32)
