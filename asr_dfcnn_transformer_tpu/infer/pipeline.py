@@ -96,8 +96,9 @@ class Pipeline:
             amt.ckpt.restore_latest(am_template)
         if am_state is None:
             raise FileNotFoundError(f"no AM checkpoint under {workdir}")
-        am_vars = {"params": am_state.params,
-                   "batch_stats": am_state.batch_stats}
+        am_vars = jax.tree.map(jnp.asarray,
+                               {"params": am_state.params,
+                                "batch_stats": am_state.batch_stats})
         lm_vars = None
         if lm_model is not None:
             lmt = LMTrainer(lm_model, workdir)
@@ -110,7 +111,8 @@ class Pipeline:
                 lmt.ckpt.restore_latest(lm_template)
             if lm_state is None:
                 raise FileNotFoundError(f"no LM checkpoint under {workdir}")
-            lm_vars = {"params": lm_state.params}
+            lm_vars = jax.tree.map(jnp.asarray,
+                                   {"params": lm_state.params})
         return cls(am_model, am_vars, lm_model, lm_vars,
                    acoustic_vocab=acoustic_vocab,
                    language_vocab=language_vocab, **kw)

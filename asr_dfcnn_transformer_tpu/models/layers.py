@@ -104,7 +104,7 @@ class ScaledEmbed(nn.Module):
             "embedding", nn.initializers.normal(stddev=1.0 / jnp.sqrt(self.features)),
             (self.vocab_size, self.features), jnp.float32)
         if self.zero_pad:
-            table = table.at[0].set(0.0)
+            table = jnp.asarray(table).at[0].set(0.0)
         out = jnp.take(table, ids, axis=0).astype(self.dtype)
         if self.scale:
             out = out * jnp.asarray(self.features ** 0.5, self.dtype)

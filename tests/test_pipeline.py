@@ -99,3 +99,41 @@ def test_streaming_recognizer(setup):
     assert rec.buffered_seconds > 0
     rec.reset()
     assert rec.buffered_seconds == 0
+
+
+def test_pipeline_from_checkpoints(tmp_path):
+    """Round-trip: train a step, save, rebuild the pipeline from disk."""
+    import jax
+    from asr_dfcnn_transformer_tpu.data import (DataLoader, load_manifests,
+                                                make_synthetic_corpus)
+    from asr_dfcnn_transformer_tpu.models import SEDFCNN, TransformerLM
+    from asr_dfcnn_transformer_tpu.parallel import make_mesh
+    from asr_dfcnn_transformer_tpu.train import AMTrainer, LMTrainer
+
+    data_dir, wav_root, _, _ = make_synthetic_corpus(
+        str(tmp_path / "c"), num_utts=4, num_classes=2, tone_ms=200, seed=6)
+    av, lv = vocab.acoustic_vocab(), vocab.language_vocab()
+    dl = DataLoader(load_manifests(data_dir, "train", corpora=("thchs",)),
+                    av, lv, speech_root=wav_root, bucket_bounds=(128,))
+    mesh = make_mesh(4, 1, jax.devices()[:4])
+    am = SEDFCNN(vocab_size=av.size, stage_features=(4, 4, 8, 8, 8),
+                 head_features=8, dropout_rate=0.0, dtype=jnp.float32)
+    lm = TransformerLM(av.size, lv.size, d_model=32, num_heads=4,
+                       num_blocks=1, dropout_rate=0.0, dtype=jnp.float32)
+    workdir = str(tmp_path / "w")
+    amt = AMTrainer(am, workdir, mesh=mesh)
+    batch = next(dl.am_batches(4, shuffle=False))
+    amt.restore_or_init(lambda: amt.init_state(jax.random.PRNGKey(0), batch))
+    amt.train_step(batch, jax.random.PRNGKey(1))
+    amt.save(0)
+    lmt = LMTrainer(lm, workdir, mesh=mesh)
+    lm_batch = next(dl.lm_batches(4, shuffle=False))
+    lmt.restore_or_init(lambda: lmt.init_state(jax.random.PRNGKey(0),
+                                               lm_batch))
+    lmt.save(0)
+
+    pipe = Pipeline.from_checkpoints(workdir, am, lm, acoustic_vocab=av,
+                                     language_vocab=lv)
+    sig, _, _ = dl.load_utterance(0)
+    pinyin, hanzi = pipe.recognize_signal(sig)
+    assert isinstance(pinyin, list) and isinstance(hanzi, str)

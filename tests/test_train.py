@@ -142,3 +142,20 @@ def test_e2e_training_runs_and_loss_decreases(loader, tmp_path):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_am_training_with_device_noise_augmentation(loader, tmp_path):
+    model = SEDFCNN(vocab_size=loader.av.size,
+                    stage_features=(4, 4, 8, 8, 8),
+                    se_ratio=(1, 2, 2, 2, 2), head_features=8,
+                    dropout_rate=0.0, dtype=jnp.float32)
+    tr = AMTrainer(model, str(tmp_path / "amnoise"), lr=3e-4,
+                   mesh=_small_mesh(), augment_noise=True)
+    batches = list(loader.am_batches(batch_size=4, shuffle=False))[:2]
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0),
+                                             batches[0]))
+    rng = jax.random.PRNGKey(3)
+    for i in range(4):
+        rng, sub = jax.random.split(rng)
+        m = tr.train_step(batches[i % 2], sub)
+        assert np.isfinite(float(m["loss"]))
