@@ -9,6 +9,7 @@ from asr_dfcnn_transformer_tpu.models.speech_transformer import (  # noqa: F401
     SpeechTransformer,
     e2e_loss,
     greedy_decode,
+    greedy_decode_cached,
     beam_decode,
 )
 from asr_dfcnn_transformer_tpu.models.am_lm_joint import AMLMJoint  # noqa: F401

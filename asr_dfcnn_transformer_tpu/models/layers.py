@@ -150,6 +150,11 @@ class MultiHeadAttention(nn.Module):
     ``parity``: reproduce the reference's ReLU-activated, bias-free Q/K/V
     projections (transformer.py:139-141); otherwise standard linear ones.
     Head split is a proper reshape to [B, H, T, Dh]; softmax in float32.
+
+    Besides the full-sequence ``__call__``, the module exposes the pieces
+    needed for KV-cached autoregressive decoding: :meth:`project_kv` (run
+    once per sequence / appended token) and :meth:`attend_step` (one query
+    position over a cache prefix).
     """
 
     d_model: int
@@ -158,7 +163,36 @@ class MultiHeadAttention(nn.Module):
     parity: bool = False
     dtype: Dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        # names preserve the original @nn.compact parameter paths
+        self.q_proj = nn.Dense(self.d_model, use_bias=not self.parity,
+                               dtype=self.dtype, name="q")
+        self.k_proj = nn.Dense(self.d_model, use_bias=not self.parity,
+                               dtype=self.dtype, name="k")
+        self.v_proj = nn.Dense(self.d_model, use_bias=not self.parity,
+                               dtype=self.dtype, name="v")
+        if not self.parity:
+            self.out_proj = nn.Dense(self.d_model, dtype=self.dtype,
+                                     name="out")
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def _act(self, y):
+        return nn.relu(y) if self.parity else y
+
+    def project_q(self, x):
+        return self._act(self.q_proj(x))
+
+    def project_kv(self, x):
+        """[B, T, D] -> (k, v) both [B, T, D] (pre head-split)."""
+        return self._act(self.k_proj(x)), self._act(self.v_proj(x))
+
+    def _finish(self, out, queries):
+        if not self.parity:
+            out = self.out_proj(out)
+        out = out + queries  # residual (transformer.py:151)
+        return self.norm(out)
+
     def __call__(self, queries, keys, values=None, *, mask=None,
                  deterministic: bool = True):
         if values is None:
@@ -167,14 +201,11 @@ class MultiHeadAttention(nn.Module):
         tk = keys.shape[1]
         h, dh = self.num_heads, self.d_model // self.num_heads
 
-        def proj(x, name):
-            y = nn.Dense(self.d_model, use_bias=not self.parity,
-                         dtype=self.dtype, name=name)(x)
-            return nn.relu(y) if self.parity else y
-
-        q = proj(queries, "q").reshape(b, tq, h, dh).transpose(0, 2, 1, 3)
-        k = proj(keys, "k").reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
-        v = proj(values, "v").reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
+        q = self.project_q(queries).reshape(b, tq, h, dh).transpose(0, 2, 1, 3)
+        k = self._act(self.k_proj(keys)).reshape(b, tk, h, dh)\
+            .transpose(0, 2, 1, 3)
+        v = self._act(self.v_proj(values)).reshape(b, tk, h, dh)\
+            .transpose(0, 2, 1, 3)
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
@@ -186,13 +217,35 @@ class MultiHeadAttention(nn.Module):
         # reference's attention-heatmap TensorBoard summary
         # (transformer.py:105-106)
         self.sow("intermediates", "attention", probs)
-        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        probs = self.drop(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
-        if not self.parity:
-            out = nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)
-        out = out + queries  # residual (transformer.py:151)
-        return nn.LayerNorm(dtype=self.dtype)(out)
+        return self._finish(out, queries)
+
+    def attend_step(self, query_t, k_cache, v_cache, valid_len):
+        """One-position cached attention.
+
+        query_t: [B, 1, D]; k_cache/v_cache: [B, Tmax, D] (projected, only
+        the first ``valid_len`` rows meaningful); valid_len: scalar or [B].
+        Returns [B, 1, D] (residual + LayerNorm applied).
+        """
+        b, _, _ = query_t.shape
+        tk = k_cache.shape[1]
+        h, dh = self.num_heads, self.d_model // self.num_heads
+        q = self.project_q(query_t).reshape(b, 1, h, dh).transpose(0, 2, 1, 3)
+        k = k_cache.reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
+        v = v_cache.reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        valid = jnp.asarray(valid_len)
+        valid = valid[:, None] if valid.ndim == 1 else valid[None, None]
+        key_ok = jnp.arange(tk)[None, :] < valid
+        scores = jnp.where(key_ok[:, None, None, :], scores, _BIG_NEG)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, self.d_model)
+        return self._finish(out, query_t)
 
 
 class FeedForward(nn.Module):

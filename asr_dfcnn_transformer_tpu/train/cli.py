@@ -296,7 +296,8 @@ def cmd_eval_e2e(args):
             ids, lens, _ = models.beam_decode(model, variables, feats, valid,
                                               beam_size=args.beam_width)
         else:
-            ids, lens = models.greedy_decode(model, variables, feats, valid)
+            ids, lens = models.greedy_decode_cached(model, variables, feats,
+                                                    valid)
         ids, lens = np.asarray(ids), np.asarray(lens)
         for j in range(ids.shape[0]):
             if batch.weights[j] == 0:

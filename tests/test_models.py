@@ -191,3 +191,31 @@ def test_sedfcnn_space_to_depth_geometry(rng):
     y = m.apply(params, x, train=False)
     # same final geometry as the standard stack: T/8 frames
     assert y.shape == (2, 8, 50)
+
+
+def test_cached_greedy_matches_full_recompute(rng):
+    """KV-cached decode must emit exactly what the O(L^2) path emits."""
+    m = _tiny_e2e()
+    feats = _feats(2, 16, 8)
+    dec_in = np.array([[1, 5, 6], [1, 7, 2]], np.int32)
+    params = m.init(rng, feats, jnp.array([16, 12]), dec_in, train=False)
+    ids_a, len_a = models.greedy_decode(m, params, feats,
+                                        jnp.array([16, 12]), max_len=6)
+    ids_b, len_b = models.greedy_decode_cached(m, params, feats,
+                                               jnp.array([16, 12]),
+                                               max_len=6)
+    assert list(np.asarray(len_a)) == list(np.asarray(len_b))
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
+def test_cached_greedy_matches_parity_decoder(rng):
+    m = _tiny_e2e(parity=True)
+    feats = _feats(2, 16, 8)
+    dec_in = np.array([[1, 5, 6], [1, 7, 2]], np.int32)
+    params = m.init(rng, feats, jnp.array([16, 12]), dec_in, train=False)
+    ids_a, len_a = models.greedy_decode(m, params, feats,
+                                        jnp.array([16, 12]), max_len=6)
+    ids_b, len_b = models.greedy_decode_cached(m, params, feats,
+                                               jnp.array([16, 12]),
+                                               max_len=6)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
