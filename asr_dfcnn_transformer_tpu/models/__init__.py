@@ -11,6 +11,7 @@ from asr_dfcnn_transformer_tpu.models.speech_transformer import (  # noqa: F401
     greedy_decode,
     greedy_decode_cached,
     beam_decode,
+    beam_decode_cached,
 )
 from asr_dfcnn_transformer_tpu.models.am_lm_joint import AMLMJoint  # noqa: F401
 from asr_dfcnn_transformer_tpu.models.dfcnn import logit_lengths  # noqa: F401

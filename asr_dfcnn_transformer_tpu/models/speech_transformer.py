@@ -255,6 +255,80 @@ def _length_penalty(length, alpha: float):
     return ((5.0 + length) / 6.0) ** alpha
 
 
+def beam_decode_cached(model: SpeechTransformer, params, feats, feat_valid,
+                       beam_size: int = 3, lp_alpha: float = 0.6,
+                       max_len: int = 64):
+    """KV-cached batched beam search (same scoring as :func:`beam_decode`,
+    O(L) decoder work per step). Beams ride the batch axis; surviving
+    beams gather-reorder the self-attention caches each step.
+
+    Returns (ids [B, max_len], lengths [B], scores [B]).
+    """
+    k = beam_size
+    b = feats.shape[0]
+    memory, mem_valid = model.apply(params, feats, feat_valid,
+                                    method=SpeechTransformer.encode)
+    mem = jnp.repeat(memory, k, axis=0)
+    mem_len = jnp.repeat(jnp.sum(mem_valid.astype(jnp.int32), -1), k, axis=0)
+    cross_k, cross_v, pos_table = model.apply(
+        params, mem, method=SpeechTransformer.precompute_decode_state)
+    n_dec, d = model.num_dec_blocks, model.d_model
+    self_k = jnp.zeros((n_dec, b * k, max_len, d), cross_k.dtype)
+    self_v = jnp.zeros_like(self_k)
+
+    tokens0 = jnp.full((b, k, max_len + 1), constants.PAD, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(constants.SOS)
+    logp0 = jnp.tile(jnp.where(jnp.arange(k) == 0, 0.0, -1e30)[None], (b, 1))
+    fin0 = jnp.zeros((b, k), jnp.bool_)
+    neg_inf = -1e30
+
+    def step(carry, i):
+        tokens, logp, finished, sk, sv = carry
+        tok = jnp.take_along_axis(
+            tokens.reshape(b * k, max_len + 1),
+            i[None, None].repeat(b * k, 0), axis=1)[:, 0]
+        pos_row = jax.lax.dynamic_index_in_dim(
+            pos_table, jnp.minimum(i, pos_table.shape[0] - 1), axis=0,
+            keepdims=False)
+        logits, sk, sv = model.apply(
+            params, tok, i, pos_row, cross_k, cross_v, sk, sv, mem_len,
+            method=SpeechTransformer.decode_one)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        v = lp.shape[-1]
+        lp = lp.reshape(b, k, v)
+        pad_only = jnp.full((v,), neg_inf).at[constants.PAD].set(0.0)
+        lp = jnp.where(finished[..., None], pad_only[None, None, :], lp)
+        cand = logp[..., None] + lp
+        top_val, top_idx = jax.lax.top_k(cand.reshape(b, k * v), k)
+        src_beam = top_idx // v                                  # [B, K]
+        sym = (top_idx % v).astype(jnp.int32)
+        tokens = jnp.take_along_axis(tokens, src_beam[..., None], axis=1)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, sym[..., None], (0, 0, i + 1))
+        finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        finished = finished | (sym == constants.EOS)
+        # reorder the self-attention caches to follow surviving beams
+        flat_src = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)
+        sk = sk[:, flat_src]
+        sv = sv[:, flat_src]
+        return (tokens, top_val, finished, sk, sv), None
+
+    (tokens, logp, finished, _, _), _ = jax.lax.scan(
+        step, (tokens0, logp0, fin0, self_k, self_v), jnp.arange(max_len))
+
+    out = tokens[:, :, 1:]
+    is_eos = out == constants.EOS
+    seen = jnp.cumsum(is_eos.astype(jnp.int32), axis=2) > 0
+    lengths = jnp.sum(1 - seen.astype(jnp.int32), axis=2)
+    score = logp / _length_penalty(lengths.astype(jnp.float32), lp_alpha)
+    best = jnp.argmax(score, axis=1)
+    take = lambda a: jnp.take_along_axis(
+        a, best[:, None, None] if a.ndim == 3 else best[:, None],
+        axis=1).squeeze(1)
+    best_tokens = take(jnp.where(seen, constants.PAD, out))
+    return best_tokens, take(lengths), take(score)
+
+
 def greedy_decode(model: SpeechTransformer, params, feats, feat_valid,
                   max_len: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Autoregressive greedy decode. Returns (ids [B, max_len], lengths [B]).

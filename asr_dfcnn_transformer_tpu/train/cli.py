@@ -293,8 +293,8 @@ def cmd_eval_e2e(args):
                                     jnp.asarray(batch.signal_lengths),
                                     batch.bucket_frames)
         if args.decode == "beam":
-            ids, lens, _ = models.beam_decode(model, variables, feats, valid,
-                                              beam_size=args.beam_width)
+            ids, lens, _ = models.beam_decode_cached(
+                model, variables, feats, valid, beam_size=args.beam_width)
         else:
             ids, lens = models.greedy_decode_cached(model, variables, feats,
                                                     valid)

@@ -219,3 +219,19 @@ def test_cached_greedy_matches_parity_decoder(rng):
                                                jnp.array([16, 12]),
                                                max_len=6)
     np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
+def test_cached_beam_matches_full_recompute(rng):
+    m = _tiny_e2e()
+    feats = _feats(2, 16, 8)
+    dec_in = np.array([[1, 5, 6], [1, 7, 2]], np.int32)
+    params = m.init(rng, feats, jnp.array([16, 12]), dec_in, train=False)
+    ids_a, len_a, sc_a = models.beam_decode(m, params, feats,
+                                            jnp.array([16, 12]),
+                                            beam_size=3, max_len=6)
+    ids_b, len_b, sc_b = models.beam_decode_cached(m, params, feats,
+                                                   jnp.array([16, 12]),
+                                                   beam_size=3, max_len=6)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b),
+                               rtol=1e-4, atol=1e-5)
