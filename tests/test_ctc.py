@@ -173,3 +173,54 @@ def test_edit_distance_empty():
     d = np.asarray(ops.batched_edit_distance(ap, np.array([0, 0]), bp,
                                              np.array([3, 0])))
     assert list(d) == [3, 0]
+
+
+def test_ctc_loss_impossible_alignment_is_huge():
+    """Labels longer than frames allow (needs T >= L for distinct symbols):
+    probability is zero -> loss ~ 1e30, finite (no NaN)."""
+    v = 8
+    logits = np.zeros((1, 3, v), np.float32)
+    labels = np.array([[1, 2, 3, 4, 5]], np.int32)  # 5 labels, 3 frames
+    loss = np.asarray(ops.ctc_loss(logits, np.array([3]), labels,
+                                   np.array([5])))
+    assert np.isfinite(loss).all() and loss[0] > 1e20
+
+
+def test_ctc_loss_repeated_labels_need_separator_frames():
+    """'aa' needs >= 3 frames (a blank a); with exactly 3 matched frames the
+    only valid path is a-blank-a."""
+    v, blank = 4, 3
+    p = np.full((3, v), 0.05, np.float32)
+    p[0, 0] = p[2, 0] = 0.85   # 'a' at t=0,2
+    p[1, blank] = 0.85         # blank at t=1
+    logits = np.log(p)[None]
+    labels = np.array([[0, 0]], np.int32)
+    loss = float(ops.ctc_loss(logits, np.array([3]), labels, np.array([2]),
+                              blank_id=blank, logits_are_log_probs=True)[0])
+    want = -np.log(0.85 ** 3)
+    np.testing.assert_allclose(loss, want, rtol=0.05)
+
+
+def test_beam_with_blank_id_zero():
+    v, blank = 5, 0
+    path = [1, 1, 0, 2, 3]
+    logits = np.full((1, 5, v), -5.0, np.float32)
+    for i, c in enumerate(path):
+        logits[0, i, c] = 5.0
+    ids, lens, _ = ops.ctc_beam_search_decode(logits, np.array([5]),
+                                              beam_width=3, topk=3,
+                                              blank_id=0, max_decode_len=5)
+    assert list(np.asarray(ids[0][: int(lens[0])])) == [1, 2, 3]
+
+
+def test_greedy_capped_output_truncates():
+    """More emissions than max_output_len -> truncation at the cap."""
+    v, blank = 6, 5
+    t = 12
+    logits = np.full((1, t, v), -5.0, np.float32)
+    for i in range(t):
+        logits[0, i, i % 4] = 5.0  # 0 1 2 3 0 1 2 3 ... 12 distinct emissions
+    ids, lens = ops.ctc_greedy_decode(logits, np.array([t]), blank_id=blank,
+                                      max_output_len=5)
+    assert int(lens[0]) == 5
+    assert list(np.asarray(ids[0])) == [0, 1, 2, 3, 0]
