@@ -50,6 +50,11 @@ def _build_parser():
                         help="tiny model dims (tests / smoke)")
         sp.add_argument("--platform", default=None,
                         help="force jax platform (e.g. cpu)")
+        sp.add_argument("--config", default=None,
+                        help="JSON config-tree file (core.config.Config; "
+                             "see train.factory.config_to_json). CLI flags "
+                             "override its values; the resolved config is "
+                             "written to <workdir>/config.json")
 
     for name in ("am", "lm", "atten", "e2e", "joint", "eval", "eval-lm",
                  "eval-e2e"):
@@ -83,6 +88,48 @@ def _build_parser():
 def _setup_platform(args):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+
+def _apply_config(args):
+    """Merge a JSON config tree into unset CLI args and snapshot the
+    resolved config into the workdir for reproducibility."""
+    import dataclasses
+
+    from asr_dfcnn_transformer_tpu.core.config import Config
+    from asr_dfcnn_transformer_tpu.train.factory import (
+        config_from_json, config_to_json)
+
+    if getattr(args, "config", None):
+        with open(args.config, encoding="utf-8") as f:
+            cfg = config_from_json(f.read())
+    else:
+        cfg = Config()
+    # CLI flags win; config fills the gaps
+    if args.lr is None and args.cmd in ("am", "atten", "joint"):
+        args.lr = cfg.am.lr
+    if args.lr is None and args.cmd == "lm":
+        args.lr = cfg.lm.lr
+    if args.lr is None and args.cmd == "e2e":
+        args.lr = cfg.e2e.lr
+    if args.batch_size is None:
+        args.batch_size = {"am": cfg.am.batch_size,
+                           "lm": cfg.lm.batch_size,
+                           "e2e": cfg.e2e.batch_size}.get(args.cmd)
+    if args.epochs is None:
+        args.epochs = cfg.train.epochs
+    if getattr(args, "model", None) is None and args.cmd == "am":
+        args.model = cfg.am.model
+    os.makedirs(args.workdir, exist_ok=True)
+    # record the effective config next to the checkpoints
+    eff = cfg
+    if args.cmd == "am" and args.lr is not None:
+        eff = eff.replace(am=dataclasses.replace(eff.am, lr=args.lr,
+                                                 batch_size=args.batch_size
+                                                 or eff.am.batch_size))
+    with open(os.path.join(args.workdir, "config.json"), "w",
+              encoding="utf-8") as f:
+        f.write(config_to_json(eff))
+    return cfg
 
 
 def _data(args, batch_size, bucket_bounds=(400, 800, 1200, 1600),
@@ -384,6 +431,7 @@ def cmd_infer(args):
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     _setup_platform(args)
+    _apply_config(args)
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
      "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,
      "eval-e2e": cmd_eval_e2e, "infer": cmd_infer}[args.cmd](args)

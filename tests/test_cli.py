@@ -118,3 +118,26 @@ def test_cli_eval_with_hdf5_weights(workdir):
     cli.main(["eval", "--workdir", workdir, "--synthetic", "16", "--small",
               "--batch-size", "8", "--am-hdf5", path])
     assert os.path.exists(os.path.join(workdir, "pred", "pred_log"))
+
+
+def test_cli_config_file(tmp_path):
+    import json
+    from asr_dfcnn_transformer_tpu.core.config import Config
+    from asr_dfcnn_transformer_tpu.train.factory import config_to_json
+    import dataclasses
+    cfg = Config()
+    cfg = cfg.replace(am=dataclasses.replace(cfg.am, lr=2e-3))
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(config_to_json(cfg))
+    wd = str(tmp_path / "w")
+    cli.main(["am", "--workdir", wd, "--synthetic", "8", "--small",
+              "--epochs", "1", "--batch-size", "8",
+              "--config", str(cfg_path)])
+    # resolved config snapshot written
+    snap = json.loads(open(os.path.join(wd, "config.json")).read())
+    assert abs(snap["am"]["lr"] - 2e-3) < 1e-9
+    # the trainer actually used the config lr
+    lines = [json.loads(l) for l in
+             open(os.path.join(wd, "am_metrics.jsonl"))]
+    train_lines = [l for l in lines if l.get("split") == "train"]
+    assert abs(train_lines[0]["lr"] - 2e-3) < 1e-4
