@@ -291,6 +291,8 @@ class AMTrainer(_TrainerBase):
             dt = time.time() - t0
             self.metrics.write(int(self.state.step), epoch=epoch,
                                split="dev", loss=loss, wer=wer, seconds=dt)
+            print(f"[am] epoch {epoch}: dev_loss {loss:.3f} "
+                  f"dev_wer {wer:.3f} ({dt:.1f}s)", flush=True)
             self.save(epoch)
             if evals and wer < best_wer:
                 best_wer = wer
@@ -421,6 +423,7 @@ class AttenTrainer(_TrainerBase):
                 else float("nan")
             self.metrics.write(int(self.state.step), epoch=epoch,
                                split="dev", wer=wer)
+            print(f"[atten] epoch {epoch}: dev_wer {wer:.3f}", flush=True)
             self.save(epoch)
             if evals and wer < best_wer:
                 best_wer = wer
@@ -517,6 +520,8 @@ class LMTrainer(_TrainerBase):
                 else float("nan")
             self.metrics.write(int(self.state.step), epoch=epoch,
                                split="dev", loss=loss, acc=acc)
+            print(f"[lm] epoch {epoch}: dev_loss {loss:.3f} "
+                  f"dev_acc {acc:.3f}", flush=True)
             self.save(epoch)
             if evals and acc > best_acc:
                 best_acc = acc
