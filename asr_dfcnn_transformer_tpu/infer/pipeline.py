@@ -81,41 +81,34 @@ class Pipeline:
                          language_vocab: Optional[Vocab] = None,
                          use_best: bool = True, **kw) -> "Pipeline":
         """Build a pipeline from a training workdir's orbax checkpoints
-        (the best-metric copy when available, else latest)."""
-        import jax.random as jrandom
+        (the best-metric copy when available, else latest).
 
-        from asr_dfcnn_transformer_tpu.train import AMTrainer, LMTrainer
-
-        amt = AMTrainer(am_model, workdir)
-        zero = jnp.zeros((1, 128, 200, 1), jnp.float32)
-        am_template = jax.tree.map(
-            np.asarray,
-            amt._make_state(am_model.init(jrandom.PRNGKey(0), zero,
-                                          train=False)))
-        am_state = (use_best and amt.ckpt.restore_best(am_template)) or \
-            amt.ckpt.restore_latest(am_template)
-        if am_state is None:
+        Params-only: restores the raw checkpoint tree and keeps just
+        ``params``/``batch_stats`` — no trainer construction, no optimizer
+        state allocated (serving path)."""
+        am_raw = cls._restore_raw(workdir, "am", use_best)
+        if am_raw is None:
             raise FileNotFoundError(f"no AM checkpoint under {workdir}")
         am_vars = jax.tree.map(jnp.asarray,
-                               {"params": am_state.params,
-                                "batch_stats": am_state.batch_stats})
+                               {"params": am_raw["params"],
+                                "batch_stats": am_raw["batch_stats"]})
         lm_vars = None
         if lm_model is not None:
-            lmt = LMTrainer(lm_model, workdir)
-            lm_template = jax.tree.map(
-                np.asarray,
-                lmt._make_state(lm_model.init(
-                    jrandom.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
-                    train=False)))
-            lm_state = (use_best and lmt.ckpt.restore_best(lm_template)) or \
-                lmt.ckpt.restore_latest(lm_template)
-            if lm_state is None:
+            lm_raw = cls._restore_raw(workdir, "lm", use_best)
+            if lm_raw is None:
                 raise FileNotFoundError(f"no LM checkpoint under {workdir}")
-            lm_vars = jax.tree.map(jnp.asarray,
-                                   {"params": lm_state.params})
+            lm_vars = jax.tree.map(jnp.asarray, {"params": lm_raw["params"]})
         return cls(am_model, am_vars, lm_model, lm_vars,
                    acoustic_vocab=acoustic_vocab,
                    language_vocab=language_vocab, **kw)
+
+    @staticmethod
+    def _restore_raw(workdir: str, name: str, use_best: bool):
+        from asr_dfcnn_transformer_tpu.train.checkpoint import (
+            CheckpointManager)
+        ckpt = CheckpointManager(os.path.join(workdir, f"ckpt_{name}"))
+        raw = ckpt.restore_raw_best() if use_best else None
+        return raw if raw is not None else ckpt.restore_raw_latest()
 
     def _build_infer(self):
         @functools.partial(jax.jit, static_argnames=("bucket_frames",))

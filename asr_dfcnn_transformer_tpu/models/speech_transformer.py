@@ -176,7 +176,12 @@ class SpeechTransformer(nn.Module):
         y = self.dec_embed(dec_inputs)
         y = y + self.dec_pos(l)
         y = self.dec_dropout(y, deterministic=det)
-        dec_valid = jnp.ones_like(dec_inputs, jnp.bool_)
+        # PAD decoder positions must not be attendable keys: derive the
+        # mask from the ids (reference's query-mask intent,
+        # end2end/transformer.py:64-86). Position 0 is always [SOS].
+        dec_valid = jnp.asarray(dec_inputs) != constants.PAD
+        dec_valid = jnp.logical_or(
+            dec_valid, jnp.arange(l)[None, :] == 0)
         self_mask = attention_mask(dec_valid, dec_valid, causal=True)
         cross_mask = attention_mask(dec_valid, mem_valid,
                                     causal=self.parity_decoder)

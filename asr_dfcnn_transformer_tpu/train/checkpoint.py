@@ -51,3 +51,19 @@ class CheckpointManager:
         if not os.path.exists(path):
             return None
         return self._best_ckpt.restore(path, item=template)
+
+    # ---- template-free (raw-tree) restores for params-only loading ------
+
+    def restore_raw_latest(self) -> Optional[Any]:
+        """Restore the latest checkpoint as a raw nested dict — no state
+        template, no optimizer-state allocation. For inference/serving."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
+    def restore_raw_best(self) -> Optional[Any]:
+        path = os.path.join(self._best_dir, "state")
+        if not os.path.exists(path):
+            return None
+        return self._best_ckpt.restore(path)

@@ -329,6 +329,7 @@ def cmd_eval_e2e(args):
         model = models.SpeechTransformer(ev.size)
     tr = E2ETrainer(model, args.workdir,
                     feature_dim=80 if not args.small else 40)
+    _require_ckpt(tr, "end-to-end", args.workdir)
     first = next(test_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), first))
     variables = {"params": tr.state.params}
@@ -370,6 +371,17 @@ def cmd_eval_lm(args):
           f"{res.hanzi_accuracy * 100:.2f}%")
 
 
+def _require_ckpt(trainer, what: str, workdir: str) -> None:
+    """Eval/infer must not silently run on random init weights (a mistyped
+    --workdir would otherwise produce plausible near-zero accuracy)."""
+    if trainer.ckpt.latest_step() is None:
+        hint = " or pass --am-hdf5" if what == "AM" else ""
+        raise SystemExit(
+            f"error: no {what} checkpoint found under {workdir!r} — "
+            f"eval/infer refuses to run on randomly initialized weights. "
+            f"Train first{hint}.")
+
+
 def _load_pipeline(args, decode="greedy", beam_width=8):
     from asr_dfcnn_transformer_tpu.infer import Pipeline
     from asr_dfcnn_transformer_tpu.train import AMTrainer, LMTrainer
@@ -379,6 +391,7 @@ def _load_pipeline(args, decode="greedy", beam_width=8):
     test_dl = loader("test", False)
     lm = _lm_model(av.size, lv.size, args.small)
     lmt = LMTrainer(lm, args.workdir)
+    _require_ckpt(lmt, "LM", args.workdir)
     lm_first = next(test_dl.lm_batches(bsz, shuffle=False))
     lm_state = lmt.restore_or_init(lambda: lmt.init_state(
         jax.random.PRNGKey(1), lm_first))
@@ -394,6 +407,7 @@ def _load_pipeline(args, decode="greedy", beam_width=8):
         am = _am_model(getattr(args, "model", "se_dfcnn"), av.size,
                        args.small)
         amt = AMTrainer(am, args.workdir)
+        _require_ckpt(amt, "AM", args.workdir)
         first = next(test_dl.am_batches(bsz, shuffle=False))
         am_state = amt.restore_or_init(lambda: amt.init_state(
             jax.random.PRNGKey(0), first))

@@ -83,6 +83,21 @@ def _weighted_mean(values, weights):
     return jnp.sum(values * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
+def _dev_mean(evals, key):
+    """Weight-aware mean of a per-batch dev metric.
+
+    Each eval dict carries ``weight`` = how many real rows (or target
+    tokens) the batch metric averaged over, so trailing partial batches
+    whose weight-0 backfilled rows were already masked out don't skew the
+    epoch metric (reference protocol averages per utterance,
+    train.py:77-89)."""
+    if not evals:
+        return float("nan")
+    w = np.array([float(e.get("weight", 1.0)) for e in evals])
+    v = np.array([float(e[key]) for e in evals])
+    return float(np.sum(v * w) / max(w.sum(), 1.0))
+
+
 class _TrainerBase:
     def __init__(self, workdir: str, name: str, lr: float, decay_steps: int,
                  min_lr: float, mesh=None, max_to_keep: int = 5):
@@ -280,14 +295,8 @@ class AMTrainer(_TrainerBase):
                     self.metrics.write(int(self.state.step), epoch=epoch,
                                        split="train", **m)
             evals = [self.eval_step(b) for b in dev_batches()]
-            if evals:
-                w = np.array([float(e["weight"]) for e in evals])
-                wer = float(np.sum([float(e["ler"]) * wi
-                                    for e, wi in zip(evals, w)]) /
-                            max(w.sum(), 1.0))
-                loss = float(np.mean([float(e["loss"]) for e in evals]))
-            else:
-                wer, loss = float("nan"), float("nan")
+            wer = _dev_mean(evals, "ler")
+            loss = _dev_mean(evals, "loss")
             dt = time.time() - t0
             self.metrics.write(int(self.state.step), epoch=epoch,
                                split="dev", loss=loss, wer=wer, seconds=dt)
@@ -419,8 +428,7 @@ class AttenTrainer(_TrainerBase):
                     self.metrics.write(int(self.state.step), epoch=epoch,
                                        split="train", **m)
             evals = [self.eval_step(b) for b in dev_batches()]
-            wer = float(np.mean([float(e["ler"]) for e in evals])) if evals \
-                else float("nan")
+            wer = _dev_mean(evals, "ler")
             self.metrics.write(int(self.state.step), epoch=epoch,
                                split="dev", wer=wer)
             print(f"[atten] epoch {epoch}: dev_wer {wer:.3f}", flush=True)
@@ -486,7 +494,8 @@ class LMTrainer(_TrainerBase):
                                       train=False)
             tgt = jnp.where(weights[:, None] > 0, hanzi, constants.PAD)
             loss, acc = lm_loss_and_acc(logits, tgt)
-            return {"loss": loss, "acc": acc}
+            ntok = jnp.sum((tgt != constants.PAD).astype(jnp.float32))
+            return {"loss": loss, "acc": acc, "weight": ntok}
 
         return step
 
@@ -514,10 +523,8 @@ class LMTrainer(_TrainerBase):
                     self.metrics.write(int(self.state.step), epoch=epoch,
                                        split="train", **m)
             evals = [self.eval_step(b) for b in dev_batches()]
-            acc = float(np.mean([float(e["acc"]) for e in evals])) if evals \
-                else float("nan")
-            loss = float(np.mean([float(e["loss"]) for e in evals])) if evals \
-                else float("nan")
+            acc = _dev_mean(evals, "acc")
+            loss = _dev_mean(evals, "loss")
             self.metrics.write(int(self.state.step), epoch=epoch,
                                split="dev", loss=loss, acc=acc)
             print(f"[lm] epoch {epoch}: dev_loss {loss:.3f} "
@@ -716,13 +723,24 @@ class E2ETrainer(_TrainerBase):
                                                batch.bucket_frames)
         return metrics
 
+    def _epoch_marker_path(self) -> str:
+        return os.path.join(self.workdir, "e2e_epochs_completed.json")
+
     def fit(self, train_batches, epochs: int, rng=None,
             log_every: int = 10, ckpt_every: int = 1000) -> Dict[str, float]:
         """Step-based loop with periodic checkpoints
-        (end2end/model.py:101-126)."""
+        (end2end/model.py:101-126). Unlike the epoch-saving trainers,
+        checkpoints here are step-numbered, so resume reads an epoch
+        marker written at each epoch boundary (reference resumes from
+        latest ckpt, train.py:45-50)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         last = {}
-        for epoch in range(epochs):
+        start_epoch = 0
+        if self.ckpt.latest_step() is not None and \
+                os.path.exists(self._epoch_marker_path()):
+            with open(self._epoch_marker_path()) as f:
+                start_epoch = int(json.load(f)["epochs_completed"])
+        for epoch in range(start_epoch, epochs):
             for i, batch in enumerate(train_batches()):
                 rng, sub = jax.random.split(rng)
                 m = self.train_step(batch, sub)
@@ -734,4 +752,6 @@ class E2ETrainer(_TrainerBase):
                 last = {"epoch": epoch, "loss": float(m["loss"]),
                         "acc": float(m["acc"])}
             self.save(int(self.state.step))
+            with open(self._epoch_marker_path(), "w") as f:
+                json.dump({"epochs_completed": epoch + 1}, f)
         return last

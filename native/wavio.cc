@@ -60,7 +60,11 @@ bool parse_header(FILE* f, WavInfo* info) {
     } else if (memcmp(chunk, "data", 4) == 0) {
       info->data_offset = (uint64_t)ftell(f);
       info->data_bytes = size;
-      return info->channels > 0 && info->bits > 0;
+      // Only PCM widths the decoder handles; anything else (including
+      // bits<8, which would make bytes_per==0 and SIGFPE the division
+      // below) is a parse failure, not a crash.
+      return (info->channels > 0 && info->channels <= 64) &&
+             (info->bits == 8 || info->bits == 16 || info->bits == 32);
     } else {
       // chunks are word-aligned
       if (fseek(f, (long)(size + (size & 1)), SEEK_CUR) != 0) return false;

@@ -141,3 +141,15 @@ def test_cli_config_file(tmp_path):
              open(os.path.join(wd, "am_metrics.jsonl"))]
     train_lines = [l for l in lines if l.get("split") == "train"]
     assert abs(train_lines[0]["lr"] - 2e-3) < 1e-4
+
+
+def test_cli_eval_refuses_missing_checkpoint(tmp_path):
+    """eval on an empty/mistyped workdir must fail loudly, not silently
+    report near-zero accuracy from random init weights."""
+    empty = str(tmp_path / "nothing_here")
+    with pytest.raises(SystemExit, match="no LM checkpoint"):
+        cli.main(["eval", "--workdir", empty, "--synthetic", "16",
+                  "--small", "--batch-size", "8"])
+    with pytest.raises(SystemExit, match="no end-to-end checkpoint"):
+        cli.main(["eval-e2e", "--workdir", empty, "--synthetic", "16",
+                  "--small", "--batch-size", "8"])

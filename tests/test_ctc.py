@@ -32,10 +32,6 @@ def test_ctc_loss_matches_optax_blank_zero():
     rng = np.random.default_rng(1)
     logits, logit_len, labels, label_len = _random_problem(rng, v=10)
     b, t, v = logits.shape
-    ours = np.asarray(ops.ctc_loss(logits, logit_len, labels, label_len,
-                                   blank_id=0))
-    # optax wants labels >= 1 when blank=0? It takes labels as class ids and
-    # blank_id param; paddings are 1.0 at padded positions.
     logit_pad = (np.arange(t)[None, :] >= logit_len[:, None]).astype(np.float32)
     lmax = labels.shape[1]
     label_pad = (np.arange(lmax)[None, :] >= label_len[:, None]).astype(np.float32)

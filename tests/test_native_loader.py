@@ -69,3 +69,31 @@ def test_decode_truncates_to_max(wavs):
     out, lengths = native_loader.decode_batch(wavs[:2], max_samples=1000)
     assert out.shape == (2, 1000)
     assert list(lengths) == [1000, 1000]
+
+
+def _wav_bytes_with_bits(bits: int, channels: int = 1) -> bytes:
+    """Hand-craft a minimal RIFF/WAVE header with an arbitrary bit depth."""
+    import struct
+    data = b"\x00" * 64
+    fmt = struct.pack("<HHIIHH", 1, channels, 16000,
+                      16000 * channels * max(bits // 8, 1),
+                      channels * max(bits // 8, 1), bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_malformed_bit_depth_rejected_not_crash(tmp_path, wavs):
+    """bits<8 used to integer-divide by zero (SIGFPE) in the C++ decoder."""
+    bad4 = str(tmp_path / "fourbit.wav")
+    with open(bad4, "wb") as f:
+        f.write(_wav_bytes_with_bits(4))
+    bad24 = str(tmp_path / "b24.wav")  # unsupported width: reject, not crash
+    with open(bad24, "wb") as f:
+        f.write(_wav_bytes_with_bits(24))
+    out, lengths = native_loader.decode_batch([wavs[0], bad4, bad24],
+                                              max_samples=16000)
+    assert lengths[0] > 0
+    assert lengths[1] == -1 and lengths[2] == -1
+    with pytest.raises(IOError):
+        native_loader.probe(bad4)
