@@ -7,8 +7,17 @@ Re-design of the reference's single-model fbank->hanzi CTC system
 added learned position embedding, 12 self-attention encoder blocks, and a
 CTC head over the *character* vocabulary — i.e. the acoustic model decodes
 straight to hanzi, no separate LM stage. Pairs with LFR m=4/n=3 features
-(train_atten.py:10 + data_loader2.py:130-136); valid logit length is
-ceil(frames/4) with the LFR time geometry (data_loader2.py:136).
+(train_atten.py:10 + data_loader2.py:130-136).
+
+Length geometry: the conv stack pools time by 8, so the number of real
+logit frames for an utterance with ``valid_frames`` LFR frames is
+``valid_frames//8 + 1`` — that is the default here. The reference instead
+feeds CTC ``ceil(valid_frames/4)`` (data_loader2.py:136), which over-counts
+by ~2x and marks trailing padding frames as valid; it happens to stay
+within the padded logit length for utterances under ~1600 LFR frames, so
+training "works" but attends garbage frames. Set ``parity_lengths=True``
+to reproduce the reference arithmetic exactly (documented deviation, see
+PARITY.md).
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ class CTCAttention(nn.Module):
     position_max_length: int = 512
     dropout_rate: float = 0.1
     parity_attention: bool = True
+    parity_lengths: bool = False  # reference's ceil(T/4), data_loader2.py:136
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -63,6 +73,8 @@ class CTCAttention(nn.Module):
                           name="output")(x)
         if valid_frames is None:
             lengths = jnp.full((b,), t, jnp.int32)
+        elif self.parity_lengths:
+            lengths = jnp.minimum(t, -(-valid_frames // 4)).astype(jnp.int32)
         else:
             lengths = jnp.minimum(t, valid_frames // 8 + 1).astype(jnp.int32)
         return logits, lengths

@@ -251,3 +251,20 @@ def test_speech_transformer_decoder_pad_mask(rng):
     y_long = m.apply(params, feats, valid, dec_long, train=False)
     np.testing.assert_allclose(np.asarray(y_long[:, :4]),
                                np.asarray(y_short), rtol=2e-5, atol=2e-5)
+
+
+def test_ctc_attention_parity_lengths(rng):
+    """parity_lengths=True reproduces the reference's ceil(T/4) CTC length
+    arithmetic (data_loader2.py:136); default is the true conv geometry."""
+    kw = dict(vocab_size=30, d_model=16, bottleneck=8, num_heads=2,
+              num_blocks=1, dropout_rate=0.0, dtype=jnp.float32)
+    feats = _feats(2, 64, 8)  # t' = 64/8 = 8 logit frames
+    valid = jnp.array([30, 17])
+    m = models.CTCAttention(**kw)
+    p = m.init(rng, feats, valid, train=False)
+    _, lens = m.apply(p, feats, valid, train=False)
+    assert list(np.asarray(lens)) == [30 // 8 + 1, 17 // 8 + 1]
+    mp = models.CTCAttention(parity_lengths=True, **kw)
+    pp = mp.init(rng, feats, valid, train=False)
+    _, plens = mp.apply(pp, feats, valid, train=False)
+    assert list(np.asarray(plens)) == [8, 5]  # min(t'=8, ceil(T/4))
