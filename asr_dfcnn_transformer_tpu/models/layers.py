@@ -49,16 +49,19 @@ class ConvBnCell(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype)(x)
         if self.nin:
             x = nn.Conv(self.nin_features, (1, 1), padding="SAME",
                         dtype=self.dtype)(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             dtype=self.dtype)(x)
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype)(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             dtype=self.dtype)(x)
         if self.pool:
             window = (2, 2)
             if self.pool_type == "max":
@@ -79,7 +82,8 @@ class SqueezeExcite(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype)(x)
         squeeze = jnp.mean(x, axis=(1, 2), keepdims=True)
         e = nn.Dense(max(self.features // self.ratio, 1), dtype=self.dtype)(squeeze)
         e = nn.relu(e)

@@ -91,7 +91,7 @@ class PreNet(nn.Module):
             x = nn.Conv(self.channels, (3, 3), strides=(2, 2),
                         padding="SAME", dtype=self.dtype)(x)
             x = jnp.tanh(x)
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                              dtype=self.dtype)(x)
         for i in range(self.num_attn_blocks):
             x = DualAxisAttentionBlock(self.channels, dtype=self.dtype,
