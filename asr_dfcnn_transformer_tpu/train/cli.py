@@ -50,6 +50,18 @@ def _build_parser():
                         help="tiny model dims (tests / smoke)")
         sp.add_argument("--platform", default=None,
                         help="force jax platform (e.g. cpu)")
+        sp.add_argument("--distributed", action="store_true",
+                        help="multi-host run: call "
+                             "jax.distributed.initialize() before any jax "
+                             "use. On TPU pods the coordinator/process "
+                             "count/process id are auto-detected; "
+                             "elsewhere pass the three flags below. The "
+                             "(data, model) mesh then spans all hosts' "
+                             "devices, with collectives over ICI.")
+        sp.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 (non-TPU-pod envs)")
+        sp.add_argument("--num-processes", type=int, default=None)
+        sp.add_argument("--process-id", type=int, default=None)
         sp.add_argument("--config", default=None,
                         help="JSON config-tree file (core.config.Config; "
                              "see train.factory.config_to_json). CLI flags "
@@ -88,6 +100,23 @@ def _build_parser():
 def _setup_platform(args):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "distributed", False):
+        # Multi-host: one controller process per host (SPMD). Must run
+        # before any backend initializes so every process sees the global
+        # device set; the trainers' make_mesh() then lays the (data, model)
+        # mesh over jax.devices() across hosts. The reference has no
+        # multi-host story (single tf.Session, SURVEY.md §2.3); this is
+        # the TPU-native replacement for what NCCL/Horovod would be.
+        kwargs = {}
+        if args.coordinator_address:
+            kwargs.update(coordinator_address=args.coordinator_address,
+                          num_processes=args.num_processes,
+                          process_id=args.process_id)
+        jax.distributed.initialize(**kwargs)
+        print(f"[distributed] process {jax.process_index()}/"
+              f"{jax.process_count()}, local devices "
+              f"{len(jax.local_devices())}, global {len(jax.devices())}",
+              flush=True)
 
 
 def _apply_config(args):

@@ -153,3 +153,23 @@ def test_cli_eval_refuses_missing_checkpoint(tmp_path):
     with pytest.raises(SystemExit, match="no end-to-end checkpoint"):
         cli.main(["eval-e2e", "--workdir", empty, "--synthetic", "16",
                   "--small", "--batch-size", "8"])
+
+
+def test_cli_distributed_single_process(tmp_path):
+    """--distributed initializes jax.distributed before any backend use;
+    single-process smoke (multi-host needs real hosts, SURVEY.md §2.3)."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wd = str(tmp_path / "dist")
+    r = subprocess.run(
+        [sys.executable, "-m", "asr_dfcnn_transformer_tpu.train.cli", "am",
+         "--workdir", wd, "--synthetic", "8", "--small", "--epochs", "1",
+         "--batch-size", "8", "--platform", "cpu", "--distributed",
+         "--coordinator-address", "localhost:43219",
+         "--num-processes", "1", "--process-id", "0"],
+        env=dict(os.environ, PYTHONPATH=repo),
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "[distributed] process 0/1" in r.stdout
+    assert os.path.isdir(os.path.join(wd, "ckpt_am"))
