@@ -1,12 +1,12 @@
 """End-to-end demonstration on the synthetic tone corpus (CPU-runnable).
 
-Trains a small SE-DFCNN acoustic model (600 steps) and a Transformer LM
-(240 steps) on 64 synthetic utterances where each pinyin syllable is a
+Trains a small SE-DFCNN acoustic model (500 steps) and a Transformer LM
+(240 steps) on 96 synthetic utterances where each pinyin syllable is a
 distinct tone, then evaluates the full AM->LM pipeline on the UNSEEN test
 split with both greedy and beam CTC decoding under the reference's
-clipped-edit-distance protocol. Expected output: ~0.7+ accuracy on the
-toy task (train LER reaches 0.0; the gap is generalization of the tiny
-model). Runtime ~10 min on CPU.
+clipped-edit-distance protocol. Expected output: ~1.0 accuracy on the
+toy task (same configuration as the asserted CI gate,
+tests/test_synthetic_cer_gate.py). Runtime ~5 min on CPU.
 
     PYTHONPATH=. python examples/synthetic_demo.py
 """
@@ -22,20 +22,20 @@ from asr_dfcnn_transformer_tpu.infer import Pipeline
 from asr_dfcnn_transformer_tpu.parallel import make_mesh
 
 data_dir, wav_root, _, _ = make_synthetic_corpus(
-    os.path.join('/tmp', 'asr_demo', 'corpus'), num_utts=64, num_classes=6,
+    os.path.join('/tmp', 'asr_demo', 'corpus'), num_utts=96, num_classes=4,
     syllables_per_utt=(2, 4), tone_ms=250, seed=42)
 av, lv = vocab.acoustic_vocab(), vocab.language_vocab()
 mk = lambda mode: DataLoader(load_manifests(data_dir, mode, corpora=("thchs",)),
                              av, lv, speech_root=wav_root, bucket_bounds=(128,))
 train_dl, test_dl = mk("train"), mk("test")
 mesh = make_mesh(8, 1)
-am = SEDFCNN(vocab_size=av.size, stage_features=(8, 8, 16, 16, 16),
-             head_features=16, dropout_rate=0.0, dtype=jnp.float32)
-amt = AMTrainer(am, os.path.join('/tmp', 'asr_demo', 'work'), lr=1e-3, mesh=mesh)
+am = SEDFCNN(vocab_size=av.size, stage_features=(12, 12, 24, 24, 24),
+             head_features=24, dropout_rate=0.0, dtype=jnp.float32)
+amt = AMTrainer(am, os.path.join('/tmp', 'asr_demo', 'work'), lr=1.5e-3, mesh=mesh)
 batches = list(train_dl.am_batches(8, shuffle=False))
 amt.restore_or_init(lambda: amt.init_state(jax.random.PRNGKey(0), batches[0]))
 rng = jax.random.PRNGKey(1)
-for step in range(600):
+for step in range(500):
     rng, sub = jax.random.split(rng)
     amt.train_step(batches[step % len(batches)], sub)
 lm = TransformerLM(av.size, lv.size, d_model=64, num_heads=4, num_blocks=2,
