@@ -54,7 +54,11 @@ class FbankConfig:
     # "pallas": run framing+DFT+mel+log as one fused VMEM kernel
     # (ops/pallas/fbank_kernel.py) — no frame-expansion HBM traffic.
     # "xla": plain jnp pipeline. Pallas path requires win 400 / hop 160.
-    backend: str = "xla"
+    # "auto" (default): pallas on TPU, xla elsewhere. Measured on v5e the
+    # fused kernel wins at every batch size once timing defeats the
+    # result-cache (b32: 2.4 vs 3.9 ms; b128: 7.4 vs ~95 ms device time);
+    # off-TPU the kernel would run interpreted, so auto keeps XLA there.
+    backend: str = "auto"
 
 
 def num_frames(num_samples: int, cfg: FbankConfig = FbankConfig()) -> int:
@@ -197,7 +201,11 @@ def batched_fbank(signals: jnp.ndarray, lengths: jnp.ndarray,
         lengths <= cfg.win_len, 1,
         1 + jnp.ceil((lengths - cfg.win_len) / cfg.hop).astype(jnp.int32))
 
-    if cfg.backend == "pallas":
+    backend = cfg.backend
+    if backend == "auto":
+        backend = ("pallas" if (cfg.win_len, cfg.hop) == (400, 160)
+                   and jax.devices()[0].platform == "tpu" else "xla")
+    if backend == "pallas":
         from asr_dfcnn_transformer_tpu.ops.pallas.fbank_kernel import (
             pallas_log_mel,
         )

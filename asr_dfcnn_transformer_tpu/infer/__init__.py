@@ -2,3 +2,10 @@
 
 from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline, EvalResult  # noqa: F401
 from asr_dfcnn_transformer_tpu.infer.streaming import StreamingRecognizer  # noqa: F401
+from asr_dfcnn_transformer_tpu.infer.tf_ckpt import (  # noqa: F401
+    export_tf1_sedfcnn,
+    list_tf_checkpoint,
+    load_tf1_sedfcnn,
+    read_tf_checkpoint,
+    write_tf_checkpoint,
+)

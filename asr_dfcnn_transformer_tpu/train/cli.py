@@ -89,6 +89,12 @@ def _build_parser():
                                  ".hdf5 weight file (cnn_ctc layout, e.g. "
                                  "the reference's model_05.7.64.hdf5) "
                                  "instead of an orbax checkpoint")
+            sp.add_argument("--am-tf-ckpt", default=None,
+                            help="load the SE-DFCNN acoustic model from a "
+                                 "TF1 tensor_bundle checkpoint prefix (the "
+                                 "reference's graph-mode Saver files, "
+                                 "train.py:38) instead of an orbax "
+                                 "checkpoint")
 
     sp = sub.add_parser("infer")
     common(sp)
@@ -432,6 +438,12 @@ def _load_pipeline(args, decode="greedy", beam_width=8):
         am = models.KerasDFCNN(vocab_size=av.size)
         am_vars = jax.tree.map(jnp.asarray,
                                load_keras_dfcnn_hdf5(args.am_hdf5, av.size))
+    elif getattr(args, "am_tf_ckpt", None):
+        from asr_dfcnn_transformer_tpu import models
+        from asr_dfcnn_transformer_tpu.infer.tf_ckpt import load_tf1_sedfcnn
+        am = models.SEDFCNN(vocab_size=av.size)
+        am_vars = jax.tree.map(jnp.asarray,
+                               load_tf1_sedfcnn(args.am_tf_ckpt, av.size))
     else:
         am = _am_model(getattr(args, "model", "se_dfcnn"), av.size,
                        args.small)

@@ -1,14 +1,26 @@
-"""Benchmark: batched AM+LM inference throughput on one TPU chip.
+"""Benchmark suite: the five BASELINE.json configs on one TPU chip.
 
-Measures the BASELINE.json north-star path — device-side fbank ->
-SE-DFCNN acoustic model -> CTC greedy decode -> Transformer LM ->
-hanzi ids — as ONE jitted program, at full reference geometry
-(1600x200 features, acoustic vocab 1536, hanzi vocab 6345, LM 12x512).
+Emits ONE JSON line. The headline metric/value is the BASELINE.json
+north-star path — batched AM+LM inference, batch 128 — and ``extra.suite``
+carries one entry per benchmark config (BASELINE.json "configs"):
 
-Prints one JSON line: utterances/sec/chip vs the 1000 utt/s/chip target
-(BASELINE.json:5). Utterances here are worst-case 16 s (full 1600-frame
-bucket, no length-bucketing advantage) — real corpora with ~5 s means and
-bucketing run proportionally faster.
+  1. single_utt_greedy   — batch-1 fbank->DFCNN->CTC greedy latency
+  2. am_batched_b32      — batched fbank + AM inference, batch 32
+  3. lm_only             — pinyin->hanzi Transformer LM (test_lm.py path)
+  4. beam_noise_pipeline — on-device noise aug + AM + CTC beam + LM
+  5. train_step_standard / train_step_fast — full training step
+                           (fbank+fwd+CTC+grads+Adam), batch 64
+  plus am_lm_fast_b128   — the space-to-depth AM pipeline variant.
+
+All utterances are WORST-CASE full 1600-frame (16 s) inputs at reference
+geometry (200-dim fbank, acoustic vocab 1536, hanzi vocab 6345, LM
+12x512); real corpora with ~5 s means and length bucketing run
+proportionally faster. Training steps are timed as 10 steps inside one
+jitted lax.scan (pure device time); inference loops re-dispatch per batch
+with inputs staged on device once.
+
+    python bench.py              # full suite (one JSON line)
+    python bench.py --only lm_only --batch 64
 """
 
 import json
@@ -17,70 +29,219 @@ import time
 
 import numpy as np
 
+FRAMES = 1600
+N_SAMPLES = (FRAMES - 1) * 160 + 400
+ACOUSTIC_VOCAB, LANGUAGE_VOCAB = 1536, 6345
+UTT_SECONDS = 16.0
 
-def main():
+
+def _signals(batch, seed=0):
+    import jax
+    rs = np.random.default_rng(seed)
+    sig = (0.1 * rs.standard_normal((batch, N_SAMPLES))).astype(np.float32)
+    return (jax.device_put(sig),
+            jax.device_put(np.full((batch,), N_SAMPLES, np.int32)))
+
+
+def _time(fn, *args, iters=10):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+class _Models:
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+        from asr_dfcnn_transformer_tpu import models
+        rng = jax.random.PRNGKey(0)
+        feats0 = jnp.zeros((1, FRAMES, 200, 1), jnp.float32)
+        self.am = models.SEDFCNN(vocab_size=ACOUSTIC_VOCAB)
+        self.am_vars = self.am.init(rng, feats0, train=False)
+        self.lm = models.TransformerLM(ACOUSTIC_VOCAB, LANGUAGE_VOCAB)
+        self.lm_vars = self.lm.init(rng, jnp.zeros((1, 64), jnp.int32),
+                                    train=False)
+        self.fast = models.SEDFCNN.fast(ACOUSTIC_VOCAB)
+        self.fast_vars = self.fast.init(rng, feats0, train=False)
+
+
+def _pipeline_fn(m, am, am_vars, decode="greedy", beam_width=8,
+                 noise=False):
     import jax
     import jax.numpy as jnp
+    from asr_dfcnn_transformer_tpu.audio import add_noise_batch, batched_fbank
+    from asr_dfcnn_transformer_tpu.models.dfcnn import (
+        frames_from_samples, logit_lengths)
+    from asr_dfcnn_transformer_tpu.ops import (
+        ctc_beam_search_decode, ctc_greedy_decode)
 
-    from asr_dfcnn_transformer_tpu import models
+    @jax.jit
+    def forward(signals, signal_lengths, key):
+        if noise:
+            signals = add_noise_batch(key, signals, signal_lengths)
+        feats, _ = batched_fbank(signals, signal_lengths, out_frames=FRAMES)
+        logits = am.apply(am_vars, feats[..., None], train=False)
+        in_len = logit_lengths(frames_from_samples(signal_lengths),
+                               logits.shape[1])
+        if decode == "beam":
+            pny_ids, pny_len, _ = ctc_beam_search_decode(
+                logits, in_len, beam_width=beam_width, topk=beam_width,
+                blank_id=-1, max_decode_len=64)
+        else:
+            pny_ids, pny_len = ctc_greedy_decode(logits, in_len, blank_id=-1,
+                                                 max_output_len=64)
+        lm_logits = m.lm.apply(m.lm_vars, pny_ids, train=False)
+        return pny_ids, pny_len, jnp.argmax(lm_logits, axis=-1)
+
+    return forward
+
+
+def bench_am_lm(m, batch, am=None, am_vars=None, decode="greedy",
+                noise=False, iters=10):
+    import jax
+    fwd = _pipeline_fn(m, am or m.am, am_vars or m.am_vars, decode=decode,
+                       noise=noise)
+    sig, lens = _signals(batch)
+    key = jax.random.PRNGKey(0)
+    dt = _time(fwd, sig, lens, key, iters=iters)
+    return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
+            "utts_per_sec": round(batch / dt, 2),
+            "rtfx": round(UTT_SECONDS * batch / dt, 1)}
+
+
+def bench_single_utt(m):
+    """BASELINE config 1: single-utterance greedy decode latency."""
+    import jax
+    import jax.numpy as jnp
     from asr_dfcnn_transformer_tpu.audio import batched_fbank
+    from asr_dfcnn_transformer_tpu.models.dfcnn import (
+        frames_from_samples, logit_lengths)
     from asr_dfcnn_transformer_tpu.ops import ctc_greedy_decode
-
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
-        if "--batch" in sys.argv else 128
-    frames = 1600
-    n_samples = (frames - 1) * 160 + 400
-    acoustic_vocab, language_vocab = 1536, 6345
-
-    am = models.SEDFCNN(vocab_size=acoustic_vocab)
-    lm = models.TransformerLM(acoustic_vocab, language_vocab)
-    rng = jax.random.PRNGKey(0)
-    am_vars = am.init(rng, jnp.zeros((1, frames, 200, 1), jnp.float32),
-                      train=False)
-    lm_vars = lm.init(rng, jnp.zeros((1, 64), jnp.int32), train=False)
 
     @jax.jit
     def forward(signals, signal_lengths):
-        feats, _ = batched_fbank(signals, signal_lengths, out_frames=frames)
-        logits = am.apply(am_vars, feats[..., None], train=False)
-        from asr_dfcnn_transformer_tpu.models.dfcnn import (
-            frames_from_samples, logit_lengths)
+        feats, _ = batched_fbank(signals, signal_lengths, out_frames=FRAMES)
+        logits = m.am.apply(m.am_vars, feats[..., None], train=False)
         in_len = logit_lengths(frames_from_samples(signal_lengths),
                                logits.shape[1])
-        pny_ids, pny_len = ctc_greedy_decode(logits, in_len, blank_id=-1,
-                                             max_output_len=64)
-        lm_logits = lm.apply(lm_vars, pny_ids, train=False)
-        return pny_ids, pny_len, jnp.argmax(lm_logits, axis=-1)
+        return ctc_greedy_decode(logits, in_len, blank_id=-1,
+                                 max_output_len=64)
+
+    sig, lens = _signals(1)
+    dt = _time(forward, sig, lens, iters=20)
+    return {"latency_ms": round(1000 * dt, 2),
+            "rtfx": round(UTT_SECONDS / dt, 1)}
+
+
+def bench_lm_only(m, batch=128, seq_len=64):
+    """BASELINE config 3: LM-only inference (test_lm.py path)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def forward(ids):
+        return jnp.argmax(m.lm.apply(m.lm_vars, ids, train=False), axis=-1)
 
     rs = np.random.default_rng(0)
-    signals = (0.1 * rs.standard_normal((batch, n_samples))).astype(np.float32)
-    lengths = np.full((batch,), n_samples, np.int32)
-    signals = jax.device_put(signals)
-    lengths = jax.device_put(lengths)
+    ids = jax.device_put(
+        rs.integers(3, ACOUSTIC_VOCAB - 1, (batch, seq_len)).astype(np.int32))
+    dt = _time(forward, ids, iters=20)
+    return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
+            "utts_per_sec": round(batch / dt, 2)}
 
-    # warmup / compile
-    out = forward(signals, lengths)
-    jax.block_until_ready(out)
 
-    iters = 10
+def bench_train(m, fast=False, batch=64, steps=10):
+    """BASELINE config 5: full training step (pure device time, scanned)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from asr_dfcnn_transformer_tpu.data.loader import AMBatch
+    from asr_dfcnn_transformer_tpu.train import AMTrainer
+
+    rng = np.random.default_rng(0)
+    sig = (0.1 * rng.standard_normal((batch, N_SAMPLES))).astype(np.float32)
+    lab = np.concatenate([rng.integers(3, ACOUSTIC_VOCAB - 64, (batch, 48)),
+                          np.zeros((batch, 16))], 1).astype(np.int32)
+    ab = AMBatch(signals=sig,
+                 signal_lengths=np.full((batch,), N_SAMPLES, np.int32),
+                 frame_lengths=np.full((batch,), FRAMES, np.int32),
+                 pinyin=lab, pinyin_lengths=np.full((batch,), 48, np.int32),
+                 hanzi=lab, hanzi_lengths=np.full((batch,), 48, np.int32),
+                 weights=np.ones((batch,), np.float32),
+                 bucket_frames=FRAMES)
+    model = m.fast if fast else m.am
+    tr = AMTrainer(model, tempfile.mkdtemp(prefix="bench_train_"))
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), ab))
+    dev = [jax.device_put(x) for x in (ab.signals, ab.signal_lengths,
+                                       ab.pinyin, ab.pinyin_lengths,
+                                       ab.weights)]
+
+    @jax.jit
+    def multi(state, rng):
+        def body(st, i):
+            st, metrics = tr._train_step(st, *dev, jax.random.fold_in(rng, i),
+                                         ab.bucket_frames)
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, jnp.arange(steps))
+
+    st, losses = multi(tr.state, jax.random.PRNGKey(1))
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(signals, lengths)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    st, losses = multi(st, jax.random.PRNGKey(2))
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / steps
+    return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
+            "utts_per_sec": round(batch / dt, 2),
+            "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1)}
 
-    utts_per_sec = batch * iters / dt
-    audio_seconds = 16.0 * batch * iters
-    rtfx = audio_seconds / dt
+
+def main():
+    import jax
+
+    argv = sys.argv[1:]
+    batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 128
+    only = argv[argv.index("--only") + 1] if "--only" in argv else None
+
+    m = _Models()
+    suite = {}
+
+    def want(name):
+        return only is None or only == name
+
+    if want("am_lm_b128"):
+        suite["am_lm_b128"] = bench_am_lm(m, batch)
+    if want("single_utt_greedy"):
+        suite["single_utt_greedy"] = bench_single_utt(m)
+    if want("am_batched_b32"):
+        suite["am_batched_b32"] = bench_am_lm(m, 32)
+    if want("lm_only"):
+        suite["lm_only"] = bench_lm_only(m)
+    if want("beam_noise_pipeline"):
+        suite["beam_noise_pipeline"] = bench_am_lm(m, batch, decode="beam",
+                                                   noise=True, iters=5)
+    if want("am_lm_fast_b128"):
+        suite["am_lm_fast_b128"] = bench_am_lm(m, batch, am=m.fast,
+                                               am_vars=m.fast_vars)
+    if want("train_step_standard"):
+        suite["train_step_standard"] = bench_train(m, fast=False)
+    if want("train_step_fast"):
+        suite["train_step_fast"] = bench_train(m, fast=True)
+
+    head = suite.get("am_lm_b128", next(iter(suite.values())))
+    utts = head.get("utts_per_sec", 0.0)
     result = {
         "metric": "am_lm_inference_utts_per_sec_per_chip",
-        "value": round(utts_per_sec, 2),
-        "unit": "utterances/sec/chip (16s utts, batch %d)" % batch,
-        "vs_baseline": round(utts_per_sec / 1000.0, 3),
-        "extra": {"rtfx": round(rtfx, 1),
-                  "batch": batch,
-                  "device": str(jax.devices()[0]),
-                  "ms_per_batch": round(1000 * dt / iters, 2)},
+        "value": utts,
+        "unit": "utterances/sec/chip (worst-case 16s utts, batch %d)" % batch,
+        "vs_baseline": round(utts / 1000.0, 3),
+        "extra": {"device": str(jax.devices()[0]),
+                  "suite": suite},
     }
     print(json.dumps(result))
 

@@ -173,3 +173,24 @@ def test_cli_distributed_single_process(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "[distributed] process 0/1" in r.stdout
     assert os.path.isdir(os.path.join(wd, "ckpt_am"))
+
+
+def test_cli_eval_with_tf1_checkpoint(workdir):
+    """eval --am-tf-ckpt: restore the AM from a TF1 tensor_bundle
+    (reference Saver format, train.py:38) written by our own writer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr_dfcnn_transformer_tpu import models
+    from asr_dfcnn_transformer_tpu.infer import tf_ckpt
+
+    model = models.SEDFCNN(vocab_size=1536, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0),
+                   np.zeros((1, 32, 200, 1), np.float32), train=False)
+    prefix = os.path.join(workdir, "tf1_am", "final_model.ckpt")
+    tf_ckpt.write_tf_checkpoint(
+        prefix, tf_ckpt.export_tf1_sedfcnn(jax.tree.map(np.asarray, v)))
+    cli.main(["eval", "--workdir", workdir, "--synthetic", "16", "--small",
+              "--batch-size", "8", "--am-tf-ckpt", prefix])
+    assert os.path.exists(os.path.join(workdir, "pred", "pred_log"))
