@@ -175,9 +175,12 @@ class MultiHeadAttention(nn.Module):
                                dtype=self.dtype, name="k")
         self.v_proj = nn.Dense(self.d_model, use_bias=not self.parity,
                                dtype=self.dtype, name="v")
-        if not self.parity:
-            self.out_proj = nn.Dense(self.d_model, dtype=self.dtype,
-                                     name="out")
+        # The reference projects the concatenated heads through a FOURTH
+        # dense before the residual — ReLU'd and bias-free in parity mode,
+        # like its Q/K/V (transformer.py:144-150) — standard linear
+        # otherwise.
+        self.out_proj = nn.Dense(self.d_model, use_bias=not self.parity,
+                                 dtype=self.dtype, name="out")
         self.norm = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")
         self.drop = nn.Dropout(self.dropout_rate)
 
@@ -192,9 +195,8 @@ class MultiHeadAttention(nn.Module):
         return self._act(self.k_proj(x)), self._act(self.v_proj(x))
 
     def _finish(self, out, queries):
-        if not self.parity:
-            out = self.out_proj(out)
-        out = out + queries  # residual (transformer.py:151)
+        out = self._act(self.out_proj(out))
+        out = out + queries  # residual (transformer.py:149-151)
         return self.norm(out)
 
     def __call__(self, queries, keys, values=None, *, mask=None,

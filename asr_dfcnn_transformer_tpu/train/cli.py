@@ -72,11 +72,16 @@ def _build_parser():
                  "eval-e2e"):
         sp = sub.add_parser(name)
         common(sp)
-        if name == "am":
+        if name in ("am", "eval"):
             sp.add_argument("--model", default="se_dfcnn",
                             choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
                                      "se_dfcnn_fast", "keras_dfcnn",
-                                     "bigru"])
+                                     "bigru"],
+                            help="acoustic model architecture; eval must "
+                                 "match what `am` trained (e.g. "
+                                 "se_dfcnn_fast, the ~2.1x-faster "
+                                 "space-to-depth training variant)")
+        if name == "am":
             sp.add_argument("--augment-noise", action="store_true")
         if name in ("eval", "eval-e2e"):
             sp.add_argument("--decode", default="greedy",
@@ -100,6 +105,9 @@ def _build_parser():
     common(sp)
     sp.add_argument("--wav", required=True)
     sp.add_argument("--decode", default="greedy", choices=["greedy", "beam"])
+    sp.add_argument("--model", default="se_dfcnn",
+                    choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
+                             "se_dfcnn_fast", "keras_dfcnn", "bigru"])
     return p
 
 

@@ -15,9 +15,12 @@ carries one entry per benchmark config (BASELINE.json "configs"):
 All utterances are WORST-CASE full 1600-frame (16 s) inputs at reference
 geometry (200-dim fbank, acoustic vocab 1536, hanzi vocab 6345, LM
 12x512); real corpora with ~5 s means and length bucketing run
-proportionally faster. Training steps are timed as 10 steps inside one
-jitted lax.scan (pure device time); inference loops re-dispatch per batch
-with inputs staged on device once.
+proportionally faster. ALL timings run N iterations inside ONE jitted
+lax.scan whose carry is a data-dependent, non-foldable function of each
+iteration's output (sum(out) * 1e-30): pure device time that per-request
+result caching (observed on tunneled TPU backends) cannot inflate, XLA
+cannot constant-fold, and dead-code elimination cannot hollow out. Round
+1's repeat-input methodology overstated the XLA-fbank pipeline ~5x.
 
     python bench.py              # full suite (one JSON line)
     python bench.py --only lm_only --batch 64
@@ -43,13 +46,26 @@ def _signals(batch, seed=0):
             jax.device_put(np.full((batch,), N_SAMPLES, np.int32)))
 
 
-def _time(fn, *args, iters=10):
+def _scan_time(body, x, iters=10):
+    """Seconds/iteration of ``body(x + carry, i)`` scanned ``iters`` times
+    inside one jit. The carry is sum(output) * 1e-30 — data-dependent so
+    nothing folds, caches, or DCEs; numerically a no-op perturbation."""
     import jax
-    out = fn(*args)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def multi(x):
+        def step(c, i):
+            out = body(x + c.astype(x.dtype), i)
+            first = jax.tree.leaves(out)[0]
+            return jnp.sum(first.astype(jnp.float32)) * 1e-30, 0
+        return jax.lax.scan(step, jnp.zeros((), jnp.float32),
+                            jnp.arange(iters))[0]
+
+    out = multi(x)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = multi(x)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -80,7 +96,6 @@ def _pipeline_fn(m, am, am_vars, decode="greedy", beam_width=8,
     from asr_dfcnn_transformer_tpu.ops import (
         ctc_beam_search_decode, ctc_greedy_decode)
 
-    @jax.jit
     def forward(signals, signal_lengths, key):
         if noise:
             signals = add_noise_batch(key, signals, signal_lengths)
@@ -108,7 +123,9 @@ def bench_am_lm(m, batch, am=None, am_vars=None, decode="greedy",
                        noise=noise)
     sig, lens = _signals(batch)
     key = jax.random.PRNGKey(0)
-    dt = _time(fwd, sig, lens, key, iters=iters)
+    dt = _scan_time(
+        lambda z, i: fwd(z, lens, jax.random.fold_in(key, i)), sig,
+        iters=iters)
     return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
             "rtfx": round(UTT_SECONDS * batch / dt, 1)}
@@ -123,7 +140,6 @@ def bench_single_utt(m):
         frames_from_samples, logit_lengths)
     from asr_dfcnn_transformer_tpu.ops import ctc_greedy_decode
 
-    @jax.jit
     def forward(signals, signal_lengths):
         feats, _ = batched_fbank(signals, signal_lengths, out_frames=FRAMES)
         logits = m.am.apply(m.am_vars, feats[..., None], train=False)
@@ -133,7 +149,7 @@ def bench_single_utt(m):
                                  max_output_len=64)
 
     sig, lens = _signals(1)
-    dt = _time(forward, sig, lens, iters=20)
+    dt = _scan_time(lambda z, i: forward(z, lens), sig, iters=20)
     return {"latency_ms": round(1000 * dt, 2),
             "rtfx": round(UTT_SECONDS / dt, 1)}
 
@@ -143,14 +159,13 @@ def bench_lm_only(m, batch=128, seq_len=64):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
     def forward(ids):
         return jnp.argmax(m.lm.apply(m.lm_vars, ids, train=False), axis=-1)
 
     rs = np.random.default_rng(0)
     ids = jax.device_put(
         rs.integers(3, ACOUSTIC_VOCAB - 1, (batch, seq_len)).astype(np.int32))
-    dt = _time(forward, ids, iters=20)
+    dt = _scan_time(lambda z, i: forward(z), ids, iters=20)
     return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2)}
 
@@ -203,6 +218,14 @@ def bench_train(m, fast=False, batch=64, steps=10):
 
 def main():
     import jax
+
+    try:  # persistent XLA compile cache: the suite is 8 programs, and the
+        # beam-search config alone can cost minutes of compile time
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     argv = sys.argv[1:]
     batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 128

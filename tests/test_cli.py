@@ -194,3 +194,17 @@ def test_cli_eval_with_tf1_checkpoint(workdir):
     cli.main(["eval", "--workdir", workdir, "--synthetic", "16", "--small",
               "--batch-size", "8", "--am-tf-ckpt", prefix])
     assert os.path.exists(os.path.join(workdir, "pred", "pred_log"))
+
+
+def test_cli_fast_am_train_and_eval(tmp_path):
+    """The space-to-depth training variant round-trips through eval
+    (--model must match on both sides)."""
+    wd = str(tmp_path / "fastwork")
+    cli.main(["am", "--workdir", wd, "--synthetic", "16", "--small",
+              "--epochs", "1", "--batch-size", "8", "--lr", "1e-3",
+              "--model", "se_dfcnn_fast"])
+    cli.main(["lm", "--workdir", wd, "--synthetic", "16", "--small",
+              "--epochs", "1", "--batch-size", "8", "--lr", "1e-3"])
+    cli.main(["eval", "--workdir", wd, "--synthetic", "16", "--small",
+              "--batch-size", "8", "--model", "se_dfcnn_fast"])
+    assert os.path.exists(os.path.join(wd, "pred", "pred_log"))
