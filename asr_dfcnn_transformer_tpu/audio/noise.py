@@ -35,10 +35,16 @@ def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
     a real FFT; the spectral shape is unchanged.
     """
     n_fft = 1 << max(int(np.ceil(np.log2(max(length, 2)))), 1)
-    white = jax.random.normal(key, (n_fft,), dtype=jnp.float32)
-    spec = jnp.fft.rfft(white)
+    nbins = n_fft // 2 + 1
+    # Sample the white spectrum directly: rfft of real white Gaussian noise
+    # is complex Gaussian (hermitian half-spectrum), so drawing re/im parts
+    # skips the forward FFT entirely — one irfft instead of rfft+irfft,
+    # ~2x cheaper on the TPU FFT path, statistically identical.
+    kr, ki = jax.random.split(key)
+    spec = jax.lax.complex(jax.random.normal(kr, (nbins,), jnp.float32),
+                           jax.random.normal(ki, (nbins,), jnp.float32))
     # Reference shapes bin i (0-based) by (i+1)**alpha over the half spectrum.
-    k = jnp.arange(1, spec.shape[0] + 1, dtype=jnp.float32)
+    k = jnp.arange(1, nbins + 1, dtype=jnp.float32)
     shaped = spec * (k ** alpha)
     noise = jnp.fft.irfft(shaped, n=n_fft)[:length]
     noise = noise - jnp.mean(noise)
