@@ -26,10 +26,14 @@ _lib = None
 _load_failed = False
 
 
-def _load():
+def _load(auto_build: bool = True):
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
+    if auto_build and not any(os.path.exists(p) for p in _LIB_PATHS):
+        # the .so is not in version control (built artifact); compile it
+        # on first use when a toolchain is around, else Python fallback
+        _try_auto_build()
     for p in _LIB_PATHS:
         try:
             lib = ctypes.CDLL(p)
@@ -99,6 +103,17 @@ def decode_batch(paths: List[str], max_samples: int,
         arr, b, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_samples, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out, lengths
+
+
+def _try_auto_build() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", os.path.join(root, "native")],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass  # no toolchain / no source tree — pure-Python fallback
 
 
 def build_native(repo_root: Optional[str] = None) -> bool:

@@ -8,8 +8,10 @@ carries one entry per benchmark config (BASELINE.json "configs"):
   2. am_batched_b32      — batched fbank + AM inference, batch 32
   3. lm_only             — pinyin->hanzi Transformer LM (test_lm.py path)
   4. beam_noise_pipeline — on-device noise aug + AM + CTC beam + LM
-  5. train_step_standard / train_step_fast — full training step
-                           (fbank+fwd+CTC+grads+Adam), batch 64
+  5. train_step_standard / train_step_fast — full AM training step
+                           (fbank+fwd+CTC+grads+Adam), batch 64;
+     train_step_lm / train_step_e2e — LM (batch 64) and end-to-end
+                           speech-Transformer (batch 8) training steps
   plus am_lm_fast_b128   — the space-to-depth AM pipeline variant.
 
 All utterances are WORST-CASE full 1600-frame (16 s) inputs at reference
@@ -216,6 +218,95 @@ def bench_train(m, fast=False, batch=64, steps=10):
             "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1)}
 
 
+def bench_train_lm(m, batch=64, seq_len=64, steps=10):
+    """LM training step (train_language_model cadence, train.py:100-165)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from asr_dfcnn_transformer_tpu.data.loader import LMBatch
+    from asr_dfcnn_transformer_tpu.train import LMTrainer
+
+    rng = np.random.default_rng(0)
+    lb = LMBatch(
+        pinyin=rng.integers(3, ACOUSTIC_VOCAB - 1,
+                            (batch, seq_len)).astype(np.int32),
+        hanzi=rng.integers(3, LANGUAGE_VOCAB - 1,
+                           (batch, seq_len)).astype(np.int32),
+        lengths=np.full((batch,), seq_len, np.int32),
+        weights=np.ones((batch,), np.float32))
+    tr = LMTrainer(m.lm, tempfile.mkdtemp(prefix="bench_lm_"))
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), lb))
+    dev = [jax.device_put(x) for x in (lb.pinyin, lb.hanzi, lb.weights)]
+
+    @jax.jit
+    def multi(state, rng):
+        def body(st, i):
+            st, metrics = tr._train_step(st, *dev,
+                                         jax.random.fold_in(rng, i))
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, jnp.arange(steps))
+
+    st, losses = multi(tr.state, jax.random.PRNGKey(1))
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    st, losses = multi(st, jax.random.PRNGKey(2))
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / steps
+    return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
+            "utts_per_sec": round(batch / dt, 2)}
+
+
+def bench_train_e2e(m, batch=8, steps=5):
+    """End-to-end speech-Transformer training step (reference cadence:
+    batch 8, 80-dim features, end2end/model.py:15-54)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from asr_dfcnn_transformer_tpu import models
+    from asr_dfcnn_transformer_tpu.data.loader import AMBatch
+    from asr_dfcnn_transformer_tpu.train import E2ETrainer
+
+    rng = np.random.default_rng(0)
+    sig = (0.1 * rng.standard_normal((batch, N_SAMPLES))).astype(np.float32)
+    lab = np.concatenate([rng.integers(3, 6000, (batch, 48)),
+                          np.zeros((batch, 16))], 1).astype(np.int32)
+    ab = AMBatch(signals=sig,
+                 signal_lengths=np.full((batch,), N_SAMPLES, np.int32),
+                 frame_lengths=np.full((batch,), FRAMES, np.int32),
+                 pinyin=lab, pinyin_lengths=np.full((batch,), 48, np.int32),
+                 hanzi=lab, hanzi_lengths=np.full((batch,), 48, np.int32),
+                 weights=np.ones((batch,), np.float32),
+                 bucket_frames=FRAMES)
+    model = models.SpeechTransformer(vocab_size=6347)
+    tr = E2ETrainer(model, tempfile.mkdtemp(prefix="bench_e2e_"),
+                    feature_dim=80)
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), ab))
+    dec_in, targets = tr.make_decoder_io(ab.hanzi, ab.hanzi_lengths)
+    dev = [jax.device_put(x) for x in (ab.signals, ab.signal_lengths,
+                                       dec_in, targets)]
+
+    @jax.jit
+    def multi(state, rng):
+        def body(st, i):
+            st, metrics = tr._train_step(st, *dev,
+                                         jax.random.fold_in(rng, i),
+                                         ab.bucket_frames)
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, jnp.arange(steps))
+
+    st, losses = multi(tr.state, jax.random.PRNGKey(1))
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    st, losses = multi(st, jax.random.PRNGKey(2))
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / steps
+    return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
+            "utts_per_sec": round(batch / dt, 2),
+            "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1)}
+
+
 def main():
     import jax
 
@@ -255,6 +346,10 @@ def main():
         suite["train_step_standard"] = bench_train(m, fast=False)
     if want("train_step_fast"):
         suite["train_step_fast"] = bench_train(m, fast=True)
+    if want("train_step_lm"):
+        suite["train_step_lm"] = bench_train_lm(m)
+    if want("train_step_e2e"):
+        suite["train_step_e2e"] = bench_train_e2e(m)
 
     head = suite.get("am_lm_b128", next(iter(suite.values())))
     utts = head.get("utts_per_sec", 0.0)
