@@ -62,7 +62,8 @@ class Pipeline:
                  language_vocab: Optional[Vocab] = None,
                  feature_dim: int = 200, decode: str = "greedy",
                  beam_width: int = 8,
-                 lm_max_len: int = constants.MAX_LABEL_LENGTH):
+                 lm_max_len: int = constants.MAX_LABEL_LENGTH,
+                 mesh=None):
         self.am_model = am_model
         self.am_variables = am_variables
         self.lm_model = lm_model
@@ -73,6 +74,17 @@ class Pipeline:
         self.decode = decode
         self.beam_width = beam_width
         self.lm_max_len = lm_max_len
+        # Optional (data, model) mesh: batches shard over the data axis so
+        # one Pipeline drives every chip (the reference is single-device,
+        # SURVEY.md §2.3; batch size must divide the data axis).
+        self.mesh = mesh
+        if mesh is not None:
+            from asr_dfcnn_transformer_tpu.parallel import replicated
+            self.am_variables = jax.device_put(self.am_variables,
+                                               replicated(mesh))
+            if self.lm_variables is not None:
+                self.lm_variables = jax.device_put(self.lm_variables,
+                                                   replicated(mesh))
         self._infer = self._build_infer()
 
     @classmethod
@@ -149,6 +161,10 @@ class Pipeline:
                         bucket_frames: int = constants.FEATURE_MAX_LENGTH):
         """signals [B, S] float32, lengths [B] -> (pinyin id array [B, L],
         pinyin lengths [B], hanzi id array or None)."""
+        if self.mesh is not None:
+            from asr_dfcnn_transformer_tpu.parallel import shard_batch
+            signals, lengths = shard_batch(self.mesh, (signals, lengths))
+            return self._infer(signals, lengths, bucket_frames)
         return self._infer(jnp.asarray(signals), jnp.asarray(lengths),
                            bucket_frames)
 

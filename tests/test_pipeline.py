@@ -137,3 +137,23 @@ def test_pipeline_from_checkpoints(tmp_path):
     sig, _, _ = dl.load_utterance(0)
     pinyin, hanzi = pipe.recognize_signal(sig)
     assert isinstance(pinyin, list) and isinstance(hanzi, str)
+
+
+def test_pipeline_sharded_over_mesh(setup):
+    """One Pipeline drives a (data,) mesh: batch sharded over chips,
+    params replicated, identical outputs to the single-device path."""
+    from asr_dfcnn_transformer_tpu.parallel import make_mesh
+    dl, am, am_vars, lm, lm_vars, av, lv = setup
+    batch = next(dl.am_batches(8, shuffle=False))
+    plain = Pipeline(am, am_vars, lm, lm_vars, acoustic_vocab=av,
+                     language_vocab=lv)
+    sharded = Pipeline(am, am_vars, lm, lm_vars, acoustic_vocab=av,
+                       language_vocab=lv, mesh=make_mesh(8, 1))
+    p0, l0, h0 = plain.recognize_batch(batch.signals, batch.signal_lengths,
+                                       bucket_frames=batch.bucket_frames)
+    p1, l1, h1 = sharded.recognize_batch(batch.signals,
+                                         batch.signal_lengths,
+                                         bucket_frames=batch.bucket_frames)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
