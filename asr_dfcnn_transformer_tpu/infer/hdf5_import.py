@@ -110,3 +110,48 @@ def load_keras_dfcnn_hdf5(path: str, vocab_size: int,
         raise ValueError(f"checkpoint dense width {denses[0][0].shape[1]} "
                          f"!= expected {dense_units}")
     return {"params": params, "batch_stats": batch_stats}
+
+
+def save_keras_dfcnn_hdf5(path: str, variables, vocab_size: int,
+                          dense_units: int = 128) -> None:
+    """Inverse of :func:`load_keras_dfcnn_hdf5`: write KerasDFCNN variables
+    as a Keras-layout weights file (model_weights/<layer>/<name>:0 with
+    layer_names/weight_names attrs), so models trained here can be handed
+    back to the reference's Keras stack (cnn_ctc.py:85-86)."""
+    import h5py
+
+    p, bs = variables["params"], variables["batch_stats"]
+    if np.asarray(p["Dense_1"]["kernel"]).shape[1] != vocab_size:
+        raise ValueError("vocab mismatch")
+    if np.asarray(p["Dense_0"]["kernel"]).shape[1] != dense_units:
+        raise ValueError("dense width mismatch")
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        layer_names = []
+
+        def put(lname: str, names_arrays):
+            g = mw.create_group(lname)
+            wnames = []
+            for suffix, arr in names_arrays:
+                wname = f"{lname}/{suffix}:0"
+                g.create_dataset(wname, data=np.asarray(arr, np.float32))
+                wnames.append(wname)
+            g.attrs["weight_names"] = np.array([n.encode() for n in wnames])
+            layer_names.append(lname)
+
+        for i in range(10):
+            cell = f"ConvBnCell_{i}"
+            cn = "conv2d" if i == 0 else f"conv2d_{i}"
+            put(cn, [("kernel", p[cell]["Conv_0"]["kernel"]),
+                     ("bias", p[cell]["Conv_0"]["bias"])])
+            bn = "batch_normalization" if i == 0 \
+                else f"batch_normalization_{i}"
+            put(bn, [("gamma", p[cell]["BatchNorm_0"]["scale"]),
+                     ("beta", p[cell]["BatchNorm_0"]["bias"]),
+                     ("moving_mean", bs[cell]["BatchNorm_0"]["mean"]),
+                     ("moving_variance", bs[cell]["BatchNorm_0"]["var"])])
+        put("dense", [("kernel", p["Dense_0"]["kernel"]),
+                      ("bias", p["Dense_0"]["bias"])])
+        put("dense_1", [("kernel", p["Dense_1"]["kernel"]),
+                        ("bias", p["Dense_1"]["bias"])])
+        mw.attrs["layer_names"] = np.array([n.encode() for n in layer_names])

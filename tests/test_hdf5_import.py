@@ -190,3 +190,26 @@ print("BITPARITY_OK", diff)
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "BITPARITY_OK" in r.stdout
+
+
+def test_hdf5_export_roundtrip(tmp_path):
+    """save_keras_dfcnn_hdf5 -> load_keras_dfcnn_hdf5 reproduces the exact
+    variable tree and forward pass (bidirectional weight exchange)."""
+    from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
+        save_keras_dfcnn_hdf5)
+    model = KerasDFCNN(vocab_size=30, dense_units=128, dtype=jnp.float32)
+    x = np.random.default_rng(5).standard_normal((1, 16, 40, 1)) \
+        .astype(np.float32)
+    v = jax.tree.map(np.asarray,
+                     model.init(jax.random.PRNGKey(3), x, train=False))
+    path = str(tmp_path / "export.hdf5")
+    save_keras_dfcnn_hdf5(path, v, vocab_size=30, dense_units=128)
+    back = load_keras_dfcnn_hdf5(path, vocab_size=30, dense_units=128)
+    flat_a = jax.tree_util.tree_flatten_with_path(v)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert len(flat_a) == len(flat_b)
+    for p_, arr in flat_a:
+        np.testing.assert_array_equal(arr, flat_b[p_], err_msg=str(p_))
+    y0 = model.apply(v, x, train=False)
+    y1 = model.apply(jax.tree.map(jnp.asarray, back), x, train=False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
