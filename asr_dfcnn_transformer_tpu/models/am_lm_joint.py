@@ -57,11 +57,20 @@ class AMLMJoint(nn.Module):
                 dtype=self.dtype)
 
     def __call__(self, feats, frame_lengths, pinyin, pinyin_lengths,
-                 hanzi, train: bool = False) -> Dict[str, Any]:
+                 hanzi, train: bool = False,
+                 weights=None) -> Dict[str, Any]:
         am_logits = self.am(feats, train)
         in_len = logit_lengths(frame_lengths, am_logits.shape[1])
-        am_loss = jnp.mean(ctc_loss(am_logits, in_len, pinyin,
-                                    pinyin_lengths, blank_id=-1))
+        losses = ctc_loss(am_logits, in_len, pinyin, pinyin_lengths,
+                          blank_id=-1)
+        if weights is None:
+            am_loss = jnp.mean(losses)
+        else:
+            # weight-0 backfilled rows (static-shape trailing batches)
+            # must not contribute
+            am_loss = jnp.sum(losses * weights) / jnp.maximum(
+                jnp.sum(weights), 1.0)
+            hanzi = jnp.where(weights[:, None] > 0, hanzi, 0)
         # decode boundary: non-differentiable, truncate/pad to LM length
         dec, dec_len = ctc_greedy_decode(jax.lax.stop_gradient(am_logits),
                                          in_len, blank_id=-1,

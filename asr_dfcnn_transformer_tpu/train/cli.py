@@ -344,9 +344,11 @@ def cmd_joint(args):
     first = next(train_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(
         jax.random.PRNGKey(args.seed), first))
+    dev_dl = loader("dev", False)
     out = tr.fit(lambda: prefetch(train_dl.am_batches(bsz, seed=args.seed)),
                  epochs=args.epochs or 10,
-                 rng=jax.random.PRNGKey(args.seed))
+                 rng=jax.random.PRNGKey(args.seed),
+                 dev_batches=lambda: dev_dl.am_batches(bsz, shuffle=False))
     print("joint training done:", out)
 
 

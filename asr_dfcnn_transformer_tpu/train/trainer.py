@@ -554,6 +554,7 @@ class JointTrainer(_TrainerBase):
         self.model = model
         self.fbank_cfg = FbankConfig(nfilt=feature_dim)
         self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
 
     def _features(self, signals, signal_lengths, bucket_frames):
         feats, valid = batched_fbank(signals, signal_lengths,
@@ -575,7 +576,7 @@ class JointTrainer(_TrainerBase):
         @functools.partial(jax.jit, static_argnames=("bucket_frames",),
                            donate_argnums=(0,))
         def step(state: TrainState, signals, signal_lengths, pinyin,
-                 pinyin_lengths, hanzi, rng, bucket_frames):
+                 pinyin_lengths, hanzi, weights, rng, bucket_frames):
             def loss_fn(params):
                 feats, _ = self._features(signals, signal_lengths,
                                           bucket_frames)
@@ -583,7 +584,8 @@ class JointTrainer(_TrainerBase):
                     {"params": params, "batch_stats": state.batch_stats},
                     feats, frames_from_samples(signal_lengths), pinyin,
                     pinyin_lengths,
-                    hanzi, train=True, mutable=["batch_stats"],
+                    hanzi, train=True, weights=weights,
+                    mutable=["batch_stats"],
                     rngs={"dropout": rng})
                 return out["loss"], (out, updates)
 
@@ -603,17 +605,42 @@ class JointTrainer(_TrainerBase):
 
         return step
 
+    def _build_eval_step(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",))
+        def step(state: TrainState, signals, signal_lengths, pinyin,
+                 pinyin_lengths, hanzi, weights, bucket_frames):
+            feats, _ = self._features(signals, signal_lengths, bucket_frames)
+            out = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                feats, frames_from_samples(signal_lengths), pinyin,
+                pinyin_lengths, hanzi, train=False, weights=weights)
+            return {"loss": out["loss"], "am_loss": out["am_loss"],
+                    "lm_loss": out["lm_loss"], "lm_acc": out["lm_acc"],
+                    "weight": jnp.sum(weights)}
+
+        return step
+
     def train_step(self, batch: AMBatch, rng) -> Dict[str, float]:
         b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
                                     batch.pinyin, batch.pinyin_lengths,
-                                    batch.hanzi))
+                                    batch.hanzi, batch.weights))
         self.state, metrics = self._train_step(self.state, *b, rng,
                                                batch.bucket_frames)
         return metrics
 
+    def eval_step(self, batch: AMBatch) -> Dict[str, float]:
+        b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
+                                    batch.pinyin, batch.pinyin_lengths,
+                                    batch.hanzi, batch.weights))
+        return self._eval_step(self.state, *b, batch.bucket_frames)
+
     def fit(self, train_batches, epochs: int, rng=None,
-            log_every: int = 2) -> Dict[str, float]:
+            dev_batches=None, log_every: int = 2) -> Dict[str, float]:
+        """Epoch loop; with ``dev_batches`` it adds the dev sweep +
+        acc-gated best save the reference's broken joint driver evidently
+        intended (am_lm_train.py:97-110 references undefined tensors)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        best_acc = -1.0
         last = {}
         start_epoch = (self.ckpt.latest_step() or -1) + 1
         for epoch in range(start_epoch, epochs):
@@ -626,6 +653,18 @@ class JointTrainer(_TrainerBase):
                                        split="train", **m)
                 last = {"epoch": epoch, "loss": float(m["loss"]),
                         "lm_acc": float(m["lm_acc"])}
+            if dev_batches is not None:
+                evals = [self.eval_step(b) for b in dev_batches()]
+                acc = _dev_mean(evals, "lm_acc")
+                loss = _dev_mean(evals, "loss")
+                self.metrics.write(int(self.state.step), epoch=epoch,
+                                   split="dev", loss=loss, lm_acc=acc)
+                print(f"[joint] epoch {epoch}: dev_loss {loss:.3f} "
+                      f"dev_lm_acc {acc:.3f}", flush=True)
+                last.update(dev_loss=loss, dev_lm_acc=acc)
+                if evals and acc > best_acc:
+                    best_acc = acc
+                    self.save_best()
             self.save(epoch)
         return last
 

@@ -226,3 +226,43 @@ def test_lm_dev_metric_ignores_weight0_backfill(loader, tmp_path):
                                float(whole["acc"]), rtol=1e-5)
     np.testing.assert_allclose(_dev_mean(parts, "loss"),
                                float(whole["loss"]), rtol=1e-5)
+
+
+def test_joint_dev_eval_and_weight_masking(loader, tmp_path):
+    """JointTrainer dev sweep (the reference's broken intent,
+    am_lm_train.py:97-110) with weight-0 backfill rows masked out of both
+    losses."""
+    from asr_dfcnn_transformer_tpu.models import AMLMJoint
+    from asr_dfcnn_transformer_tpu.train import JointTrainer
+    model = AMLMJoint(loader.av.size, loader.lv.size, small=True,
+                      dtype=jnp.float32)
+    tr = JointTrainer(model, str(tmp_path / "joint"), mesh=_small_mesh())
+    batches = list(loader.am_batches(batch_size=4, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0),
+                                             batches[0]))
+    out = tr.fit(lambda: iter(batches[:2]), epochs=1,
+                 dev_batches=lambda: iter(batches[:1]))
+    assert "dev_lm_acc" in out and np.isfinite(out["dev_loss"])
+    # weight-0 rows don't change eval metrics
+    b = batches[0]
+    import dataclasses
+    half = dataclasses.replace(
+        b, weights=np.array([1, 1, 0, 0], np.float32))
+    full = dataclasses.replace(
+        b,
+        signals=np.concatenate([b.signals[:2], b.signals[:2]]),
+        signal_lengths=np.concatenate([b.signal_lengths[:2],
+                                       b.signal_lengths[:2]]),
+        frame_lengths=np.concatenate([b.frame_lengths[:2],
+                                      b.frame_lengths[:2]]),
+        pinyin=np.concatenate([b.pinyin[:2], b.pinyin[:2]]),
+        pinyin_lengths=np.concatenate([b.pinyin_lengths[:2],
+                                       b.pinyin_lengths[:2]]),
+        hanzi=np.concatenate([b.hanzi[:2], b.hanzi[:2]]),
+        hanzi_lengths=np.concatenate([b.hanzi_lengths[:2],
+                                      b.hanzi_lengths[:2]]),
+        weights=np.ones((4,), np.float32))
+    e_half = tr.eval_step(half)
+    e_full = tr.eval_step(full)
+    np.testing.assert_allclose(float(e_half["am_loss"]),
+                               float(e_full["am_loss"]), rtol=1e-4)
