@@ -108,6 +108,21 @@ def _build_parser():
     sp.add_argument("--model", default="se_dfcnn",
                     choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
                              "se_dfcnn_fast", "keras_dfcnn", "bigru"])
+
+    sp = sub.add_parser(
+        "export", help="export the trained AM back to the reference's "
+                       "checkpoint formats")
+    sp.add_argument("--workdir", required=True)
+    sp.add_argument("--out", required=True,
+                    help="output path (tf1: checkpoint prefix; "
+                         "hdf5: .hdf5 file)")
+    sp.add_argument("--format", default="tf1", choices=["tf1", "hdf5"],
+                    help="tf1 = tensor_bundle (Saver) files for SE-DFCNN; "
+                         "hdf5 = Keras cnn_ctc weights (keras_dfcnn only)")
+    sp.add_argument("--use-latest", action="store_true",
+                    help="export the latest checkpoint instead of the "
+                         "metric-gated best")
+    sp.add_argument("--platform", default=None)
     return p
 
 
@@ -493,13 +508,47 @@ def cmd_infer(args):
     print("汉字:", hanzi)
 
 
+def cmd_export(args):
+    """Hand a trained AM back to the reference stack: TF1 tensor_bundle
+    (Saver format, train.py:38) or Keras cnn_ctc .hdf5 (cnn_ctc.py:85)."""
+    import numpy as np
+
+    from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline
+    raw = Pipeline._restore_raw(args.workdir, "am",
+                                use_best=not args.use_latest)
+    if raw is None:
+        raise SystemExit(f"error: no AM checkpoint under {args.workdir!r}")
+    variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+    try:
+        if args.format == "tf1":
+            from asr_dfcnn_transformer_tpu.infer.tf_ckpt import (
+                export_tf1_sedfcnn, write_tf_checkpoint)
+            write_tf_checkpoint(args.out, export_tf1_sedfcnn(variables))
+        else:
+            from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
+                save_keras_dfcnn_hdf5)
+            p = variables["params"]
+            save_keras_dfcnn_hdf5(
+                args.out, variables,
+                vocab_size=np.asarray(p["Dense_1"]["kernel"]).shape[1],
+                dense_units=np.asarray(p["Dense_0"]["kernel"]).shape[1])
+    except KeyError as e:
+        raise SystemExit(
+            f"error: checkpoint layout does not match the {args.format} "
+            f"export mapping (tf1 = se_dfcnn family, hdf5 = keras_dfcnn); "
+            f"missing {e}")
+    print(f"exported {args.format} -> {args.out}")
+
+
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     _setup_platform(args)
-    _apply_config(args)
+    if args.cmd != "export":
+        _apply_config(args)
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
      "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,
-     "eval-e2e": cmd_eval_e2e, "infer": cmd_infer}[args.cmd](args)
+     "eval-e2e": cmd_eval_e2e, "infer": cmd_infer,
+     "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -208,3 +208,29 @@ def test_cli_fast_am_train_and_eval(tmp_path):
     cli.main(["eval", "--workdir", wd, "--synthetic", "16", "--small",
               "--batch-size", "8", "--model", "se_dfcnn_fast"])
     assert os.path.exists(os.path.join(wd, "pred", "pred_log"))
+
+
+def test_cli_export_tf1(workdir):
+    """export --format tf1 writes a tensor_bundle matching the trained AM
+    params exactly (depends on test_cli_am_train having run)."""
+    import numpy as np
+
+    from asr_dfcnn_transformer_tpu.infer import tf_ckpt
+    from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline
+    prefix = os.path.join(workdir, "export", "final_model.ckpt")
+    cli.main(["export", "--workdir", workdir, "--format", "tf1",
+              "--out", prefix, "--platform", "cpu"])
+    assert os.path.exists(prefix + ".index")
+    raw = Pipeline._restore_raw(workdir, "am", use_best=True)
+    back = tf_ckpt.load_tf1_sedfcnn(
+        prefix, vocab_size=np.asarray(
+            raw["params"]["Dense_0"]["kernel"]).shape[1])
+    import jax
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(
+        {"params": raw["params"], "batch_stats": raw["batch_stats"]})[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k], np.float32),
+                                      np.asarray(flat_b[k], np.float32),
+                                      err_msg=str(k))
