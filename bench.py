@@ -310,10 +310,16 @@ def bench_train_e2e(m, batch=8, steps=5):
 def main():
     import jax
 
-    try:  # persistent XLA compile cache: the suite is 8 programs, and the
-        # beam-search config alone can cost minutes of compile time
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_compilation_cache")
+    import os
+    try:  # persistent XLA compile cache: the suite is 10 programs, and the
+        # beam-search config alone can cost minutes of compile time. Keep
+        # the cache next to the repo so a pre-warmed cache survives for
+        # later runs of the same code.
+        cache_dir = os.environ.get(
+            "ASR_TPU_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
