@@ -69,7 +69,7 @@ def _build_parser():
                              "written to <workdir>/config.json")
 
     for name in ("am", "lm", "atten", "e2e", "joint", "eval", "eval-lm",
-                 "eval-e2e"):
+                 "eval-e2e", "eval-atten"):
         sp = sub.add_parser(name)
         common(sp)
         if name in ("am", "eval"):
@@ -367,6 +367,61 @@ def cmd_joint(args):
     print("joint training done:", out)
 
 
+def cmd_eval_atten(args):
+    """Decode the test set with the CTC-attention model (LFR fbank ->
+    hanzi CTC) and report hanzi accuracy under the clipped-edit-distance
+    protocol — an eval driver the reference never had for this model
+    (train_atten.py trains it, nothing evaluates it)."""
+    import numpy as np
+
+    from asr_dfcnn_transformer_tpu.models import CTCAttention
+    from asr_dfcnn_transformer_tpu.ops import ctc_greedy_decode
+    from asr_dfcnn_transformer_tpu.ops.edit_distance import edit_distance
+    from asr_dfcnn_transformer_tpu.train.trainer import AttenTrainer
+    bsz = args.batch_size or 16
+    bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+    loader, av, lv = _data(args, bsz, bounds)
+    test_dl = loader("test", False)
+    if args.small:
+        model = CTCAttention(lv.size, d_model=32, num_heads=4, num_blocks=1,
+                             dropout_rate=0.0, dtype=jnp.float32)
+    else:
+        model = CTCAttention(lv.size)
+    tr = AttenTrainer(model, args.workdir)
+    _require_ckpt(tr, "CTC-attention", args.workdir)
+    first = next(test_dl.am_batches(bsz, shuffle=False))
+    tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), first))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("bucket_frames",))
+    def decode(signals, signal_lengths, bucket_frames):
+        feats, valid = tr._features(signals, signal_lengths, bucket_frames)
+        logits, in_len = model.apply(
+            {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+            feats, valid, train=False)
+        return ctc_greedy_decode(logits, in_len, blank_id=-1,
+                                 max_output_len=64)
+
+    err = tot = n_utts = 0
+    for batch in test_dl.am_batches(bsz, shuffle=False):
+        ids, lens = decode(jnp.asarray(batch.signals),
+                           jnp.asarray(batch.signal_lengths),
+                           batch.bucket_frames)
+        ids, lens = np.asarray(ids), np.asarray(lens)
+        for j in range(ids.shape[0]):
+            if batch.weights[j] == 0:
+                continue
+            n_utts += 1
+            gt = list(batch.hanzi[j][: batch.hanzi_lengths[j]])
+            d = edit_distance(gt, list(ids[j][: lens[j]]))
+            err += min(d, len(gt))
+            tot += len(gt)
+    acc = 1.0 - err / max(tot, 1)
+    print(f"*[Test Result] atten 汉字 word accuracy ratio: "
+          f"{acc * 100:.2f}% ({n_utts} utts)")
+
+
 def cmd_eval_e2e(args):
     """Decode the test set with the end-to-end speech Transformer
     (AR greedy or length-penalized beam) and report hanzi accuracy under
@@ -547,8 +602,8 @@ def main(argv=None):
         _apply_config(args)
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
      "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,
-     "eval-e2e": cmd_eval_e2e, "infer": cmd_infer,
-     "export": cmd_export}[args.cmd](args)
+     "eval-e2e": cmd_eval_e2e, "eval-atten": cmd_eval_atten,
+     "infer": cmd_infer, "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -234,3 +234,12 @@ def test_cli_export_tf1(workdir):
         np.testing.assert_array_equal(np.asarray(flat_a[k], np.float32),
                                       np.asarray(flat_b[k], np.float32),
                                       err_msg=str(k))
+
+
+def test_cli_eval_atten(workdir, capsys):
+    """eval-atten decodes hanzi straight from the CTC-attention model
+    (depends on test_cli_atten_train's checkpoint)."""
+    cli.main(["eval-atten", "--workdir", workdir, "--synthetic", "16",
+              "--small", "--batch-size", "8"])
+    out = capsys.readouterr().out
+    assert "atten 汉字 word accuracy ratio" in out
