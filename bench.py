@@ -334,6 +334,22 @@ def main():
     def want(name):
         return only is None or only == name
 
+    def emit():
+        """Print the (current) result line. Called once mid-suite and once
+        at the end so that even a time-capped run leaves a complete JSON
+        record as its last stdout line."""
+        head = suite.get("am_lm_b128", next(iter(suite.values())))
+        utts = head.get("utts_per_sec", 0.0)
+        print(json.dumps({
+            "metric": "am_lm_inference_utts_per_sec_per_chip",
+            "value": utts,
+            "unit": "utterances/sec/chip (worst-case 16s utts, batch %d)"
+                    % batch,
+            "vs_baseline": round(utts / 1000.0, 3),
+            "extra": {"device": str(jax.devices()[0]),
+                      "suite": suite},
+        }), flush=True)
+
     if want("am_lm_b128"):
         suite["am_lm_b128"] = bench_am_lm(m, batch)
     if want("single_utt_greedy"):
@@ -345,6 +361,8 @@ def main():
     if want("beam_noise_pipeline"):
         suite["beam_noise_pipeline"] = bench_am_lm(m, batch, decode="beam",
                                                    noise=True, iters=5)
+    if only is None:
+        emit()  # checkpoint: the five BASELINE configs are in
     if want("am_lm_fast_b128"):
         suite["am_lm_fast_b128"] = bench_am_lm(m, batch, am=m.fast,
                                                am_vars=m.fast_vars)
@@ -356,18 +374,7 @@ def main():
         suite["train_step_lm"] = bench_train_lm(m)
     if want("train_step_e2e"):
         suite["train_step_e2e"] = bench_train_e2e(m)
-
-    head = suite.get("am_lm_b128", next(iter(suite.values())))
-    utts = head.get("utts_per_sec", 0.0)
-    result = {
-        "metric": "am_lm_inference_utts_per_sec_per_chip",
-        "value": utts,
-        "unit": "utterances/sec/chip (worst-case 16s utts, batch %d)" % batch,
-        "vs_baseline": round(utts / 1000.0, 3),
-        "extra": {"device": str(jax.devices()[0]),
-                  "suite": suite},
-    }
-    print(json.dumps(result))
+    emit()
 
 
 if __name__ == "__main__":
