@@ -1,3 +1,5 @@
-"""Utilities: introspection, metrics helpers."""
+"""Utilities: introspection, phonemization, metrics helpers."""
 
 from asr_dfcnn_transformer_tpu.utils.introspect import attention_maps  # noqa: F401
+from asr_dfcnn_transformer_tpu.utils.phoneme import (  # noqa: F401
+    HanziPhonemizer, phoneme_inventory, phonemize_pinyin, split_pinyin)
