@@ -1,15 +1,27 @@
-"""CTC loss as a log-space ``lax.scan`` forward algorithm.
+"""CTC loss as log-space ``lax.scan`` dynamic programs with an analytic VJP.
 
 TPU-native replacement for ``tf.nn.ctc_loss_v2`` as used by the reference
 acoustic models (``lm_and_am/model/acoustic_model.py:75-80``), including the
 ``blank_index = vocab - 1`` convention (the '_' symbol appended last to the
-acoustic vocabulary). Works on dense padded labels — no sparse tensors — and
-is differentiable through the scan.
+acoustic vocabulary). Works on dense padded labels — no sparse tensors.
 
 The whole computation is static-shape: batch [B, T, V] logits with per-item
 valid lengths, labels padded to a fixed max; extended-label state is
 [B, 2*Lmax+1]. Alpha updates freeze once ``t >= logit_length`` so padded
 frames contribute nothing.
+
+Gradient: instead of differentiating through the alpha scan (which makes
+XLA run a transposed scan over the saved per-step residuals of every
+logaddexp), the backward pass uses the classic forward-backward identity
+
+    dNLL/dlogit[t, v] = softmax[t, v] - gamma[t, v],
+    gamma[t, v] = sum_{s : ext[s] = v} exp(alpha_t(s) + beta_t(s) - logP),
+
+computed as one reverse beta scan plus one batched [T,S]x[S,V] matmul
+(the per-class scatter becomes an MXU one-hot contraction — TPU scatters
+along the lane axis do not vectorize). ``analytic_grad=False`` falls back
+to plain autodiff through the scan (kept as the reference implementation
+for tests).
 """
 
 from __future__ import annotations
@@ -18,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEG_INF = -1e30
 
@@ -32,52 +45,39 @@ def _logaddexp3(a, b, c):
     return jnp.where(m <= _NEG_INF / 2, _NEG_INF, out)
 
 
-@functools.partial(jax.jit, static_argnames=("blank_id", "logits_are_log_probs"))
-def ctc_loss(logits: jnp.ndarray,
-             logit_lengths: jnp.ndarray,
-             labels: jnp.ndarray,
-             label_lengths: jnp.ndarray,
-             blank_id: int = -1,
-             logits_are_log_probs: bool = False) -> jnp.ndarray:
-    """Per-example negative log likelihood, shape [B].
-
-    Args:
-      logits: [B, T, V] raw logits (log_softmax applied internally), or
-        already-normalized log-probs if ``logits_are_log_probs``.
-      logit_lengths: [B] valid frame counts (<= T).
-      labels: [B, L] dense label ids, zero/any padding past ``label_lengths``.
-      label_lengths: [B] true label lengths.
-      blank_id: blank class id; -1 means V-1 (reference convention,
-        acoustic_model.py:76).
-    """
-    b, t, v = logits.shape
-    l = labels.shape[1]
-    blank = blank_id % v
-
-    lp = logits if logits_are_log_probs else jax.nn.log_softmax(logits, axis=-1)
-    lp = lp.astype(jnp.float32)
-
-    # Extended label sequence: blank, y1, blank, y2, ..., blank  [B, S=2L+1]
+def _extended_labels(labels, label_lengths, blank):
+    """Blank-interleaved label topology: ext, validity, skip-transition mask."""
+    b, l = labels.shape
     s = 2 * l + 1
     ext = jnp.full((b, s), blank, dtype=labels.dtype)
     ext = ext.at[:, 1::2].set(labels)
     pos = jnp.arange(s)[None, :]
     valid_ext = pos < (2 * label_lengths[:, None] + 1)
-
     # skip transition allowed into position s: s>=2, ext[s] != blank,
     # ext[s] != ext[s-2]
     ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
     can_skip = (pos >= 2) & (ext != blank) & (ext != ext_m2)
+    return ext, valid_ext, can_skip
 
-    # Pre-gather all emission scores with ONE gather along the SUBLANE
-    # axis: transpose lp to [B, V, T] and row-gather the S extended-label
-    # rows -> [B, S, T]. TPU gathers along the minor (lane) dim do not
-    # vectorize — a per-step lane gather inside the scan measured 18.3 ms
-    # for [64, 200, 1536] on v5e, this form 3.0 ms. The scan then consumes
-    # [T, B, S] slices through xs with no dynamic slicing.
-    lp_t = jnp.swapaxes(lp, 1, 2)                               # [B, V, T]
+
+def _emissions(lp, ext):
+    """Pre-gather all emission scores with ONE gather along the SUBLANE
+    axis: transpose lp to [B, V, T] and row-gather the S extended-label
+    rows -> [B, S, T]. TPU gathers along the minor (lane) dim do not
+    vectorize — a per-step lane gather inside the scan measured 18.3 ms
+    for [64, 200, 1536] on v5e, this form 3.0 ms. The scan then consumes
+    [T, B, S] slices through xs with no dynamic slicing."""
+    lp_t = jnp.swapaxes(lp, 1, 2)                                # [B, V, T]
     emit_all = jnp.take_along_axis(lp_t, ext[:, :, None], axis=1)  # [B,S,T]
-    emit_xs = jnp.moveaxis(emit_all, 2, 0)                      # [T, B, S]
+    emit_xs = jnp.moveaxis(emit_all, 2, 0)                       # [T, B, S]
+    return emit_all, emit_xs
+
+
+def _alpha_scan(lp, emit_all, emit_xs, logit_lengths, label_lengths,
+                valid_ext, can_skip, blank, stack: bool):
+    """Forward DP. Returns (-log P(labels) [B], alphas [T,B,S] or None)."""
+    b, t, _ = lp.shape
+    s = valid_ext.shape[1]
 
     alpha0 = jnp.full((b, s), _NEG_INF)
     alpha0 = alpha0.at[:, 0].set(lp[:, 0, blank])
@@ -88,17 +88,19 @@ def ctc_loss(logits: jnp.ndarray,
 
     def step(alpha, xs):
         emit_t, t_idx = xs
-        prev1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=_NEG_INF)[:, :s]
-        prev2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=_NEG_INF)[:, :s]
+        prev1 = jnp.pad(alpha, ((0, 0), (1, 0)),
+                        constant_values=_NEG_INF)[:, :s]
+        prev2 = jnp.pad(alpha, ((0, 0), (2, 0)),
+                        constant_values=_NEG_INF)[:, :s]
         prev2 = jnp.where(can_skip, prev2, _NEG_INF)
         new = _logaddexp3(alpha, prev1, prev2) + emit_t
         new = jnp.where(valid_ext, new, _NEG_INF)
         # freeze once past this item's valid frames
         active = (t_idx < logit_lengths)[:, None]
-        return jnp.where(active, new, alpha), None
+        out = jnp.where(active, new, alpha)
+        return out, out if stack else None
 
-    alpha, _ = jax.lax.scan(step, alpha0,
-                            (emit_xs[1:], jnp.arange(1, t)))
+    alpha, rest = jax.lax.scan(step, alpha0, (emit_xs[1:], jnp.arange(1, t)))
 
     # total log prob = alpha[2*len] (+) alpha[2*len - 1]
     idx_last = 2 * label_lengths
@@ -107,4 +109,137 @@ def ctc_loss(logits: jnp.ndarray,
     a_prev = jnp.take_along_axis(alpha, idx_prev[:, None], axis=1)[:, 0]
     a_prev = jnp.where(has_label, a_prev, _NEG_INF)
     total = jnp.logaddexp(a_last, a_prev)
-    return -total
+    alphas = jnp.concatenate([alpha0[None], rest], axis=0) if stack else None
+    return total, alphas
+
+
+def _beta_scan(emit_xs, logit_lengths, label_lengths, valid_ext, can_skip):
+    """Reverse DP: betas [T, B, S] with beta_{L-1} pinned to the end states
+    per example (frames at t >= L hold the init row; they are masked out of
+    gamma by the t < L time mask)."""
+    t = emit_xs.shape[0]
+    b, s = valid_ext.shape
+    pos = jnp.arange(s)[None, :]
+    idx_last = 2 * label_lengths[:, None]
+    has_label = (label_lengths > 0)[:, None]
+    init = jnp.where(
+        (pos == idx_last) | (has_label & (pos == idx_last - 1)), 0.0, _NEG_INF)
+    init = jnp.where(valid_ext, init, _NEG_INF)
+
+    # transition s -> s+2 is allowed iff a skip INTO s+2 is allowed
+    skip_from = jnp.pad(can_skip, ((0, 0), (0, 2)))[:, 2:]
+
+    def step(beta_next, xs):
+        emit_t1, t_idx = xs                       # emissions at frame t+1
+        nxt = beta_next + emit_t1                 # beta_{t+1}(s') + e_{t+1}(s')
+        n1 = jnp.pad(nxt, ((0, 0), (0, 1)), constant_values=_NEG_INF)[:, 1:]
+        n2 = jnp.pad(nxt, ((0, 0), (0, 2)), constant_values=_NEG_INF)[:, 2:]
+        n2 = jnp.where(skip_from, n2, _NEG_INF)
+        new = _logaddexp3(nxt, n1, n2)
+        new = jnp.where(valid_ext, new, _NEG_INF)
+        out = jnp.where((t_idx < logit_lengths - 1)[:, None], new, init)
+        return out, out
+
+    _, rest = jax.lax.scan(
+        step, init, (emit_xs[1:][::-1], jnp.arange(t - 2, -1, -1)))
+    return jnp.concatenate([rest[::-1], init[None]], axis=0)
+
+
+def _neg_log_lik(logits, logit_lengths, labels, label_lengths, blank,
+                 logits_are_log_probs, stack=False):
+    lp = logits if logits_are_log_probs else jax.nn.log_softmax(logits, -1)
+    lp = lp.astype(jnp.float32)
+    ext, valid_ext, can_skip = _extended_labels(labels, label_lengths, blank)
+    emit_all, emit_xs = _emissions(lp, ext)
+    total, alphas = _alpha_scan(lp, emit_all, emit_xs, logit_lengths,
+                                label_lengths, valid_ext, can_skip, blank,
+                                stack=stack)
+    return -total, alphas
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ctc_loss_analytic(logits, logit_lengths, labels, label_lengths,
+                       blank, logits_are_log_probs):
+    loss, _ = _neg_log_lik(logits, logit_lengths, labels, label_lengths,
+                           blank, logits_are_log_probs)
+    return loss
+
+
+def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank,
+             logits_are_log_probs):
+    loss, alphas = _neg_log_lik(logits, logit_lengths, labels, label_lengths,
+                                blank, logits_are_log_probs, stack=True)
+    return loss, (logits, logit_lengths, labels, label_lengths, alphas, loss)
+
+
+def _ctc_bwd(blank, logits_are_log_probs, res, g):
+    logits, logit_lengths, labels, label_lengths, alphas, loss = res
+    b, t, v = logits.shape
+    lp = logits if logits_are_log_probs else jax.nn.log_softmax(logits, -1)
+    lp = lp.astype(jnp.float32)
+    ext, valid_ext, can_skip = _extended_labels(labels, label_lengths, blank)
+    _, emit_xs = _emissions(lp, ext)
+    betas = _beta_scan(emit_xs, logit_lengths, label_lengths, valid_ext,
+                       can_skip)
+
+    # state posteriors xi_t(s) = exp(alpha + beta - logP), masked to valid
+    # frames/states; paths are a subset of the total so lg <= 0 up to
+    # rounding (clamped). Unsatisfiable alignments (logP = -inf) get zero
+    # gradient via the finite-total mask.
+    log_total = -loss                                            # [B]
+    finite = (log_total > _NEG_INF / 2)[None, :, None]
+    tmask = (jnp.arange(t)[:, None] < logit_lengths[None, :])[:, :, None]
+    lg = alphas + betas - log_total[None, :, None]
+    lg = jnp.where(finite & tmask & valid_ext[None], lg, -jnp.inf)
+    xi = jnp.exp(jnp.minimum(lg, 0.0))                           # [T, B, S]
+
+    # scatter-by-class as an MXU contraction: gamma[b,t,v] = xi @ onehot(ext)
+    onehot = jax.nn.one_hot(ext, v, dtype=xi.dtype)              # [B, S, V]
+    gamma = jnp.einsum("tbs,bsv->btv", xi, onehot)               # [B, T, V]
+
+    if logits_are_log_probs:
+        dlp = -gamma
+    else:
+        # through log_softmax: sum_s xi_t(s) == 1 on valid frames, 0 past
+        # them — use the actual sum so masking falls out exactly.
+        gsum = jnp.moveaxis(xi.sum(-1), 0, 1)[:, :, None]        # [B, T, 1]
+        dlp = jnp.exp(lp) * gsum - gamma
+    dlogits = (g[:, None, None] * dlp).astype(logits.dtype)
+
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return dlogits, f0(logit_lengths), f0(labels), f0(label_lengths)
+
+
+_ctc_loss_analytic.defvjp(_ctc_fwd, _ctc_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("blank_id", "logits_are_log_probs",
+                                             "analytic_grad"))
+def ctc_loss(logits: jnp.ndarray,
+             logit_lengths: jnp.ndarray,
+             labels: jnp.ndarray,
+             label_lengths: jnp.ndarray,
+             blank_id: int = -1,
+             logits_are_log_probs: bool = False,
+             analytic_grad: bool = True) -> jnp.ndarray:
+    """Per-example negative log likelihood, shape [B].
+
+    Args:
+      logits: [B, T, V] raw logits (log_softmax applied internally), or
+        already-normalized log-probs if ``logits_are_log_probs``.
+      logit_lengths: [B] valid frame counts (<= T).
+      labels: [B, L] dense label ids, zero/any padding past ``label_lengths``.
+      label_lengths: [B] true label lengths.
+      blank_id: blank class id; -1 means V-1 (reference convention,
+        acoustic_model.py:76).
+      analytic_grad: use the forward-backward VJP (one beta scan + one
+        matmul) instead of autodiff through the alpha scan. Same values,
+        same gradients (tested to 1e-5); ~2x faster backward on TPU.
+    """
+    blank = blank_id % logits.shape[-1]
+    if analytic_grad:
+        return _ctc_loss_analytic(logits, logit_lengths, labels,
+                                  label_lengths, blank, logits_are_log_probs)
+    loss, _ = _neg_log_lik(logits, logit_lengths, labels, label_lengths,
+                           blank, logits_are_log_probs)
+    return loss

@@ -220,3 +220,69 @@ def test_greedy_capped_output_truncates():
                                       max_output_len=5)
     assert int(lens[0]) == 5
     assert list(np.asarray(ids[0])) == [0, 1, 2, 3, 0]
+
+
+def test_analytic_grad_matches_autodiff():
+    """The forward-backward VJP must reproduce autodiff-through-the-scan
+    gradients, including frozen padded frames and per-example cotangents."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    logits, logit_len, labels, label_len = _random_problem(rng, b=6, t=25,
+                                                           v=11, lmax=7)
+    w = jnp.asarray(rng.standard_normal(6).astype(np.float32))  # mixed cotans
+
+    def mk(analytic):
+        return lambda lg: jnp.sum(w * ops.ctc_loss(
+            lg, logit_len, labels, label_len, analytic_grad=analytic))
+
+    la, ls = ops.ctc_loss(logits, logit_len, labels, label_len), \
+        ops.ctc_loss(logits, logit_len, labels, label_len, analytic_grad=False)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(ls), rtol=1e-5)
+    ga = np.asarray(jax.grad(mk(True))(jnp.asarray(logits)))
+    gs = np.asarray(jax.grad(mk(False))(jnp.asarray(logits)))
+    assert np.isfinite(ga).all()
+    np.testing.assert_allclose(ga, gs, rtol=1e-4, atol=1e-5)
+    # padded frames get exactly zero gradient
+    for i in range(6):
+        assert np.abs(ga[i, logit_len[i]:]).max() == 0.0
+
+
+def test_analytic_grad_log_probs_and_edge_cases():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(8)
+    b, t, v, lmax = 4, 10, 6, 4
+    logits = rng.standard_normal((b, t, v)).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    logit_len = np.array([t, t, 1, t], np.int32)
+    labels = np.zeros((b, lmax), np.int32)
+    labels[0, :2] = [1, 1]          # repeated label
+    labels[3, :4] = [1, 2, 3, 4]    # near-unsatisfiable vs short input ok
+    label_len = np.array([2, 0, 0, 4], np.int32)  # incl. empty labels
+
+    for analytic in (True, False):
+        kw = dict(blank_id=-1, logits_are_log_probs=True,
+                  analytic_grad=analytic)
+        f = lambda x: jnp.sum(ops.ctc_loss(x, logit_len, labels, label_len,
+                                           **kw))
+        g = np.asarray(jax.grad(f)(jnp.asarray(lp)))
+        assert np.isfinite(g).all()
+        if analytic:
+            ga = g
+        else:
+            np.testing.assert_allclose(ga, g, rtol=1e-4, atol=1e-5)
+
+
+def test_analytic_grad_zero_when_unsatisfiable():
+    """label longer than the frame budget -> P=0; gradient must be zero,
+    not NaN."""
+    import jax
+    import jax.numpy as jnp
+    logits = np.random.default_rng(9).standard_normal((1, 3, 5)) \
+        .astype(np.float32)
+    labels = np.array([[1, 1, 2, 2]], np.int32)  # needs >= 6 frames (repeats)
+    f = lambda x: jnp.sum(ops.ctc_loss(x, np.array([3], np.int32), labels,
+                                       np.array([4], np.int32)))
+    g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+    assert np.all(g == 0.0)
