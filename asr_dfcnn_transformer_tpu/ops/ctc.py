@@ -1,4 +1,4 @@
-"""CTC loss as log-space ``lax.scan`` dynamic programs with an analytic VJP.
+"""CTC loss: log-space forward/backward DP with an analytic VJP.
 
 TPU-native replacement for ``tf.nn.ctc_loss_v2`` as used by the reference
 acoustic models (``lm_and_am/model/acoustic_model.py:75-80``), including the
@@ -22,6 +22,13 @@ computed as one reverse beta scan plus one batched [T,S]x[S,V] matmul
 along the lane axis do not vectorize). ``analytic_grad=False`` falls back
 to plain autodiff through the scan (kept as the reference implementation
 for tests).
+
+Backends for the time DP itself:
+- ``"scan"`` — ``lax.scan``; runs anywhere. Latency-bound on TPU (the
+  [B, S] carry round-trips HBM every step).
+- ``"pallas"`` — whole DP inside one Pallas program with the carry and
+  emission block in VMEM (ops/pallas/ctc_kernel.py); analytic VJP only.
+- ``"auto"`` (default) — pallas on TPU, scan elsewhere.
 """
 
 from __future__ import annotations
@@ -60,31 +67,61 @@ def _extended_labels(labels, label_lengths, blank):
     return ext, valid_ext, can_skip
 
 
+def _one_hot_ext(ext, v, dtype):
+    return jax.nn.one_hot(ext, v, dtype=dtype)                   # [B, S, V]
+
+
 def _emissions(lp, ext):
-    """Pre-gather all emission scores with ONE gather along the SUBLANE
-    axis: transpose lp to [B, V, T] and row-gather the S extended-label
-    rows -> [B, S, T]. TPU gathers along the minor (lane) dim do not
-    vectorize — a per-step lane gather inside the scan measured 18.3 ms
-    for [64, 200, 1536] on v5e, this form 3.0 ms. The scan then consumes
-    [T, B, S] slices through xs with no dynamic slicing."""
-    lp_t = jnp.swapaxes(lp, 1, 2)                                # [B, V, T]
-    emit_all = jnp.take_along_axis(lp_t, ext[:, :, None], axis=1)  # [B,S,T]
-    emit_xs = jnp.moveaxis(emit_all, 2, 0)                       # [T, B, S]
-    return emit_all, emit_xs
+    """Pre-gather all emission scores as ONE one-hot MXU contraction:
+    emit[b,s,t] = sum_v onehot(ext)[b,s,v] * lp[b,t,v]. TPU gathers along
+    the minor (lane) dim do not vectorize (a per-step lane gather inside
+    the scan was the original 10x-slower hot spot); this matmul form costs
+    0.12 ms at [64, 200, 1536] (slope-timed, v5e): the 78 MB lp tensor is
+    read exactly once and the "gather" rides the MXU. Exact: one nonzero
+    per contraction row."""
+    onehot = _one_hot_ext(ext, lp.shape[-1], lp.dtype)
+    return jnp.einsum("bsv,btv->bst", onehot, lp)                # [B, S, T]
 
 
-def _alpha_scan(lp, emit_all, emit_xs, logit_lengths, label_lengths,
-                valid_ext, can_skip, blank, stack: bool):
-    """Forward DP. Returns (-log P(labels) [B], alphas [T,B,S] or None)."""
-    b, t, _ = lp.shape
-    s = valid_ext.shape[1]
-
+def _alpha0(lp, emit_all, label_lengths, valid_ext, blank):
+    b, s = valid_ext.shape
     alpha0 = jnp.full((b, s), _NEG_INF)
     alpha0 = alpha0.at[:, 0].set(lp[:, 0, blank])
-    has_label = label_lengths > 0
     alpha0 = alpha0.at[:, 1].set(
-        jnp.where(has_label, emit_all[:, 1, 0], _NEG_INF))
-    alpha0 = jnp.where(valid_ext, alpha0, _NEG_INF)
+        jnp.where(label_lengths > 0, emit_all[:, 1, 0], _NEG_INF))
+    return jnp.where(valid_ext, alpha0, _NEG_INF)
+
+
+def _total_from_alpha(alpha_last, label_lengths):
+    """log P from the final alpha row: alpha[2L] (+) alpha[2L-1]."""
+    idx_last = 2 * label_lengths
+    a_last = jnp.take_along_axis(alpha_last, idx_last[:, None], axis=1)[:, 0]
+    idx_prev = jnp.maximum(idx_last - 1, 0)
+    a_prev = jnp.take_along_axis(alpha_last, idx_prev[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(label_lengths > 0, a_prev, _NEG_INF)
+    return jnp.logaddexp(a_last, a_prev)
+
+
+def _beta_init(valid_ext, label_lengths):
+    s = valid_ext.shape[1]
+    pos = jnp.arange(s)[None, :]
+    idx_last = 2 * label_lengths[:, None]
+    has_label = (label_lengths > 0)[:, None]
+    init = jnp.where(
+        (pos == idx_last) | (has_label & (pos == idx_last - 1)), 0.0, _NEG_INF)
+    return jnp.where(valid_ext, init, _NEG_INF)
+
+
+# --------------------------- lax.scan backend ---------------------------
+
+
+def _alpha_scan(lp, emit_all, logit_lengths, label_lengths, valid_ext,
+                can_skip, blank, stack: bool):
+    """Forward DP. Returns (log P(labels) [B], alphas [T,B,S] or None)."""
+    t = lp.shape[1]
+    s = valid_ext.shape[1]
+    emit_xs = jnp.moveaxis(emit_all, 2, 0)                       # [T, B, S]
+    alpha0 = _alpha0(lp, emit_all, label_lengths, valid_ext, blank)
 
     def step(alpha, xs):
         emit_t, t_idx = xs
@@ -101,30 +138,18 @@ def _alpha_scan(lp, emit_all, emit_xs, logit_lengths, label_lengths,
         return out, out if stack else None
 
     alpha, rest = jax.lax.scan(step, alpha0, (emit_xs[1:], jnp.arange(1, t)))
-
-    # total log prob = alpha[2*len] (+) alpha[2*len - 1]
-    idx_last = 2 * label_lengths
-    a_last = jnp.take_along_axis(alpha, idx_last[:, None], axis=1)[:, 0]
-    idx_prev = jnp.maximum(idx_last - 1, 0)
-    a_prev = jnp.take_along_axis(alpha, idx_prev[:, None], axis=1)[:, 0]
-    a_prev = jnp.where(has_label, a_prev, _NEG_INF)
-    total = jnp.logaddexp(a_last, a_prev)
+    total = _total_from_alpha(alpha, label_lengths)
     alphas = jnp.concatenate([alpha0[None], rest], axis=0) if stack else None
     return total, alphas
 
 
-def _beta_scan(emit_xs, logit_lengths, label_lengths, valid_ext, can_skip):
+def _beta_scan(emit_all, logit_lengths, label_lengths, valid_ext, can_skip):
     """Reverse DP: betas [T, B, S] with beta_{L-1} pinned to the end states
     per example (frames at t >= L hold the init row; they are masked out of
     gamma by the t < L time mask)."""
+    emit_xs = jnp.moveaxis(emit_all, 2, 0)                       # [T, B, S]
     t = emit_xs.shape[0]
-    b, s = valid_ext.shape
-    pos = jnp.arange(s)[None, :]
-    idx_last = 2 * label_lengths[:, None]
-    has_label = (label_lengths > 0)[:, None]
-    init = jnp.where(
-        (pos == idx_last) | (has_label & (pos == idx_last - 1)), 0.0, _NEG_INF)
-    init = jnp.where(valid_ext, init, _NEG_INF)
+    init = _beta_init(valid_ext, label_lengths)
 
     # transition s -> s+2 is allowed iff a skip INTO s+2 is allowed
     skip_from = jnp.pad(can_skip, ((0, 0), (0, 2)))[:, 2:]
@@ -145,56 +170,124 @@ def _beta_scan(emit_xs, logit_lengths, label_lengths, valid_ext, can_skip):
     return jnp.concatenate([rest[::-1], init[None]], axis=0)
 
 
-def _neg_log_lik(logits, logit_lengths, labels, label_lengths, blank,
-                 logits_are_log_probs, stack=False):
-    lp = logits if logits_are_log_probs else jax.nn.log_softmax(logits, -1)
-    lp = lp.astype(jnp.float32)
-    ext, valid_ext, can_skip = _extended_labels(labels, label_lengths, blank)
-    emit_all, emit_xs = _emissions(lp, ext)
-    total, alphas = _alpha_scan(lp, emit_all, emit_xs, logit_lengths,
-                                label_lengths, valid_ext, can_skip, blank,
-                                stack=stack)
-    return -total, alphas
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _ctc_loss_analytic(logits, logit_lengths, labels, label_lengths,
-                       blank, logits_are_log_probs):
-    loss, _ = _neg_log_lik(logits, logit_lengths, labels, label_lengths,
-                           blank, logits_are_log_probs)
-    return loss
-
-
-def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank,
-             logits_are_log_probs):
-    loss, alphas = _neg_log_lik(logits, logit_lengths, labels, label_lengths,
-                                blank, logits_are_log_probs, stack=True)
-    return loss, (logits, logit_lengths, labels, label_lengths, alphas, loss)
-
-
-def _ctc_bwd(blank, logits_are_log_probs, res, g):
-    logits, logit_lengths, labels, label_lengths, alphas, loss = res
-    b, t, v = logits.shape
-    lp = logits if logits_are_log_probs else jax.nn.log_softmax(logits, -1)
-    lp = lp.astype(jnp.float32)
-    ext, valid_ext, can_skip = _extended_labels(labels, label_lengths, blank)
-    _, emit_xs = _emissions(lp, ext)
-    betas = _beta_scan(emit_xs, logit_lengths, label_lengths, valid_ext,
-                       can_skip)
-
-    # state posteriors xi_t(s) = exp(alpha + beta - logP), masked to valid
-    # frames/states; paths are a subset of the total so lg <= 0 up to
-    # rounding (clamped). Unsatisfiable alignments (logP = -inf) get zero
-    # gradient via the finite-total mask.
-    log_total = -loss                                            # [B]
+def _xi_scan(alphas, betas, logit_lengths, valid_ext, log_total):
+    """Posteriors xi [T, B, S] = exp(alpha + beta - logP), masked to valid
+    frames/states; paths are a subset of the total so the log is <= 0 up
+    to rounding (clamped). Unsatisfiable alignments (logP = -inf) get
+    zero via the finite-total mask."""
+    t = alphas.shape[0]
     finite = (log_total > _NEG_INF / 2)[None, :, None]
     tmask = (jnp.arange(t)[:, None] < logit_lengths[None, :])[:, :, None]
     lg = alphas + betas - log_total[None, :, None]
     lg = jnp.where(finite & tmask & valid_ext[None], lg, -jnp.inf)
-    xi = jnp.exp(jnp.minimum(lg, 0.0))                           # [T, B, S]
+    return jnp.exp(jnp.minimum(lg, 0.0))
+
+
+# ---------------------------- pallas backend ----------------------------
+
+
+def _pad_lane(x, s_pad, value):
+    pad = s_pad - x.shape[-1]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+def _prepare_pallas(lp, emit_all, label_lengths, valid_ext, can_skip, blank):
+    from asr_dfcnn_transformer_tpu.ops.pallas import ctc_kernel
+    s = valid_ext.shape[1]
+    s_pad = -(-s // 128) * 128
+    emit_tbs = _pad_lane(jnp.moveaxis(emit_all, 2, 0), s_pad, _NEG_INF)
+    valid_p = _pad_lane(valid_ext, s_pad, False)
+    skip_p = _pad_lane(can_skip, s_pad, False)
+    init = _pad_lane(_alpha0(lp, emit_all, label_lengths, valid_ext, blank),
+                     s_pad, _NEG_INF)
+    return ctc_kernel, emit_tbs, valid_p, skip_p, init, s
+
+
+def _alpha_pallas(lp, emit_all, logit_lengths, label_lengths, valid_ext,
+                  can_skip, blank):
+    """Returns (log P [B], alphas [T, B, S_pad])."""
+    k, emit_tbs, valid_p, skip_p, init, s = _prepare_pallas(
+        lp, emit_all, label_lengths, valid_ext, can_skip, blank)
+    alphas = k.alpha_stack(emit_tbs, init, skip_p, valid_p, logit_lengths)
+    total = _total_from_alpha(alphas[-1, :, :s], label_lengths)
+    return total, alphas
+
+
+def _xi_pallas(lp, emit_all, alphas_pad, logit_lengths, label_lengths,
+               valid_ext, can_skip, blank, log_total):
+    """Returns xi [T, B, S] (reverse DP fused with posteriors in VMEM)."""
+    k, emit_tbs, valid_p, skip_p, _, s = _prepare_pallas(
+        lp, emit_all, label_lengths, valid_ext, can_skip, blank)
+    s_pad = emit_tbs.shape[-1]
+    init = _pad_lane(_beta_init(valid_ext, label_lengths), s_pad, _NEG_INF)
+    skip_from = jnp.pad(can_skip, ((0, 0), (0, 2)))[:, 2:]
+    skip_from_p = _pad_lane(skip_from, s_pad, False)
+    xi = k.beta_xi(emit_tbs, alphas_pad, init, skip_from_p, valid_p,
+                   logit_lengths, log_total)
+    return xi[:, :, :s]
+
+
+# ------------------------------ public op -------------------------------
+
+
+def _neg_log_lik(logits, logit_lengths, labels, label_lengths, blank,
+                 logits_are_log_probs, use_pallas, stack=False):
+    lp = logits if logits_are_log_probs else jax.nn.log_softmax(logits, -1)
+    lp = lp.astype(jnp.float32)
+    ext, valid_ext, can_skip = _extended_labels(labels, label_lengths, blank)
+    emit_all = _emissions(lp, ext)
+    if use_pallas:
+        total, alphas = _alpha_pallas(lp, emit_all, logit_lengths,
+                                      label_lengths, valid_ext, can_skip,
+                                      blank)
+    else:
+        total, alphas = _alpha_scan(lp, emit_all, logit_lengths,
+                                    label_lengths, valid_ext, can_skip,
+                                    blank, stack=stack)
+    return -total, alphas
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ctc_loss_analytic(logits, logit_lengths, labels, label_lengths,
+                       blank, logits_are_log_probs, use_pallas):
+    loss, _ = _neg_log_lik(logits, logit_lengths, labels, label_lengths,
+                           blank, logits_are_log_probs, use_pallas)
+    return loss
+
+
+def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank,
+             logits_are_log_probs, use_pallas):
+    loss, alphas = _neg_log_lik(logits, logit_lengths, labels, label_lengths,
+                                blank, logits_are_log_probs, use_pallas,
+                                stack=True)
+    return loss, (logits, logit_lengths, labels, label_lengths, alphas, loss)
+
+
+def _ctc_bwd(blank, logits_are_log_probs, use_pallas, res, g):
+    logits, logit_lengths, labels, label_lengths, alphas, loss = res
+    t = logits.shape[1]
+    v = logits.shape[2]
+    lp = logits if logits_are_log_probs else jax.nn.log_softmax(logits, -1)
+    lp = lp.astype(jnp.float32)
+    ext, valid_ext, can_skip = _extended_labels(labels, label_lengths, blank)
+    emit_all = _emissions(lp, ext)
+    log_total = -loss                                            # [B]
+
+    if use_pallas:
+        xi = _xi_pallas(lp, emit_all, alphas, logit_lengths, label_lengths,
+                        valid_ext, can_skip, blank, log_total)   # [T, B, S]
+    else:
+        betas = _beta_scan(emit_all, logit_lengths, label_lengths, valid_ext,
+                           can_skip)
+        xi = _xi_scan(alphas, betas, logit_lengths, valid_ext,
+                      log_total)                                 # [T, B, S]
+    gsum = jnp.moveaxis(xi.sum(-1), 0, 1)[:, :, None]            # [B, T, 1]
 
     # scatter-by-class as an MXU contraction: gamma[b,t,v] = xi @ onehot(ext)
-    onehot = jax.nn.one_hot(ext, v, dtype=xi.dtype)              # [B, S, V]
+    onehot = _one_hot_ext(ext, v, xi.dtype)                      # [B, S, V]
     gamma = jnp.einsum("tbs,bsv->btv", xi, onehot)               # [B, T, V]
 
     if logits_are_log_probs:
@@ -202,7 +295,6 @@ def _ctc_bwd(blank, logits_are_log_probs, res, g):
     else:
         # through log_softmax: sum_s xi_t(s) == 1 on valid frames, 0 past
         # them — use the actual sum so masking falls out exactly.
-        gsum = jnp.moveaxis(xi.sum(-1), 0, 1)[:, :, None]        # [B, T, 1]
         dlp = jnp.exp(lp) * gsum - gamma
     dlogits = (g[:, None, None] * dlp).astype(logits.dtype)
 
@@ -213,15 +305,24 @@ def _ctc_bwd(blank, logits_are_log_probs, res, g):
 _ctc_loss_analytic.defvjp(_ctc_fwd, _ctc_bwd)
 
 
+def _resolve_backend(backend: str) -> bool:
+    if backend == "auto":
+        return jax.default_backend() == "tpu"
+    if backend not in ("pallas", "scan"):
+        raise ValueError(f"unknown CTC backend {backend!r}")
+    return backend == "pallas"
+
+
 @functools.partial(jax.jit, static_argnames=("blank_id", "logits_are_log_probs",
-                                             "analytic_grad"))
+                                             "analytic_grad", "backend"))
 def ctc_loss(logits: jnp.ndarray,
              logit_lengths: jnp.ndarray,
              labels: jnp.ndarray,
              label_lengths: jnp.ndarray,
              blank_id: int = -1,
              logits_are_log_probs: bool = False,
-             analytic_grad: bool = True) -> jnp.ndarray:
+             analytic_grad: bool = True,
+             backend: str = "auto") -> jnp.ndarray:
     """Per-example negative log likelihood, shape [B].
 
     Args:
@@ -234,12 +335,18 @@ def ctc_loss(logits: jnp.ndarray,
         acoustic_model.py:76).
       analytic_grad: use the forward-backward VJP (one beta scan + one
         matmul) instead of autodiff through the alpha scan. Same values,
-        same gradients (tested to 1e-5); ~2x faster backward on TPU.
+        same gradients (tested to 1e-5); loss+grad at [64, 200, 1536] on
+        v5e is 2.05 ms autodiff vs 0.81 ms analytic (slope-timed).
+      backend: "auto" (pallas DP kernels on TPU, lax.scan elsewhere),
+        "pallas", or "scan". The pallas backend implies analytic_grad and
+        shaves a further ~15% off the backward (0.71 ms).
     """
     blank = blank_id % logits.shape[-1]
-    if analytic_grad:
+    use_pallas = _resolve_backend(backend)
+    if analytic_grad or use_pallas:
         return _ctc_loss_analytic(logits, logit_lengths, labels,
-                                  label_lengths, blank, logits_are_log_probs)
+                                  label_lengths, blank, logits_are_log_probs,
+                                  use_pallas)
     loss, _ = _neg_log_lik(logits, logit_lengths, labels, label_lengths,
-                           blank, logits_are_log_probs)
+                           blank, logits_are_log_probs, use_pallas=False)
     return loss

@@ -1,0 +1,191 @@
+"""Pallas TPU kernels for the CTC forward/backward dynamic programs.
+
+The ``lax.scan`` CTC DP (ops/ctc.py) round-trips a [B, 2L+1] carry
+through HBM every step, and unrolling does not help (measured). These
+kernels run the whole time loop inside one Pallas program with the carry
+and the emission block resident in VMEM, so a step costs only VPU
+latency: the alpha DP alone is 0.157 ms vs the scan's 0.195 ms at
+[64, 200, S=129] on v5e (slope-timed), and fusing xi into the beta pass
+keeps betas out of HBM entirely — loss+grad 0.71 ms vs 0.81 ms scan.
+
+Two kernels, gridded over batch blocks (grid handles the HBM<->VMEM
+pipelining automatically):
+
+- :func:`alpha_stack` — forward DP; emits every alpha_t (the stack is
+  the residual the analytic VJP needs; writing it is a VMEM->HBM stream).
+- :func:`beta_xi` — reverse DP fused with the posterior computation:
+  emits xi_t(s) = exp(alpha_t + beta_t - logP) directly, so betas never
+  touch HBM at all.
+
+Both operate on the blank-interleaved extended-label topology prepared
+by ops/ctc.py (emissions pre-gathered to [B, T, S]); the lane axis S is
+padded to a multiple of 128 by the caller with valid-mask=0. Replaces
+the time-scan only — the surrounding gather/one-hot-matmul stages are
+already MXU/XLA-shaped (ops/ctc.py).
+
+Reference semantics covered: ``tf.nn.ctc_loss_v2`` with blank last
+(lm_and_am/model/acoustic_model.py:75-80).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _logaddexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, _NEG_INF / 2)
+    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    out = m_safe + jnp.log(jnp.maximum(s, 1e-37))
+    return jnp.where(m <= _NEG_INF / 2, _NEG_INF, out)
+
+
+def _shift_down(x, k):
+    """x[:, s] <- x[:, s-k] with -inf fill (alpha's look-back)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= k, pltpu.roll(x, k, axis=1), _NEG_INF)
+
+
+def _shift_up(x, k):
+    """x[:, s] <- x[:, s+k] with -inf fill (beta's look-ahead).
+    pltpu.roll wants non-negative shifts, so roll by S - k instead."""
+    s = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < s - k, pltpu.roll(x, s - k, axis=1), _NEG_INF)
+
+
+def _alpha_kernel(emit_ref, init_ref, skip_ref, valid_ref, len_ref, out_ref):
+    # time-major blocks [T, BB, S]: indexing the leading (untiled) dim per
+    # step keeps every access a whole aligned [BB, S] tile row.
+    t_total = emit_ref.shape[0]
+    valid = valid_ref[...] > 0
+    can_skip = skip_ref[...] > 0
+    lens = len_ref[...]                                   # [BB, 1] int32
+
+    alpha0 = init_ref[...]
+    out_ref[0] = alpha0
+
+    def step(t, alpha):
+        emit_t = emit_ref[t]
+        prev1 = _shift_down(alpha, 1)
+        prev2 = jnp.where(can_skip, _shift_down(alpha, 2), _NEG_INF)
+        new = _logaddexp3(alpha, prev1, prev2) + emit_t
+        new = jnp.where(valid, new, _NEG_INF)
+        alpha = jnp.where(t < lens, new, alpha)           # freeze past len
+        out_ref[t] = alpha
+        return alpha
+
+    jax.lax.fori_loop(1, t_total, step, alpha0)
+
+
+def _beta_xi_kernel(emit_ref, alphas_ref, init_ref, skipf_ref, valid_ref,
+                    len_ref, total_ref, xi_ref):
+    t_total = emit_ref.shape[0]
+    valid = valid_ref[...] > 0
+    skip_from = skipf_ref[...] > 0
+    lens = len_ref[...]                                   # [BB, 1]
+    log_total = total_ref[...]                            # [BB, 1]
+    finite = log_total > _NEG_INF / 2
+    init = init_ref[...]
+
+    def write_xi(t, beta):
+        lg = alphas_ref[t] + beta - log_total
+        on = finite & (t < lens) & valid
+        xi_ref[t] = jnp.where(on, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
+
+    write_xi(t_total - 1, init)
+
+    def step(k, beta):
+        t = t_total - 1 - k                               # T-2 .. 0
+        nxt = beta + emit_ref[t + 1]
+        n1 = _shift_up(nxt, 1)
+        n2 = jnp.where(skip_from, _shift_up(nxt, 2), _NEG_INF)
+        new = _logaddexp3(nxt, n1, n2)
+        new = jnp.where(valid, new, _NEG_INF)
+        beta = jnp.where(t < lens - 1, new, init)
+        write_xi(t, beta)
+        return beta
+
+    jax.lax.fori_loop(1, t_total, step, init)
+
+
+def _batch_block(b: int) -> int:
+    for bb in (8, 4, 2, 1):
+        if b % bb == 0:
+            return bb
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def alpha_stack(emit, init, can_skip, valid, lens, *, interpret=False):
+    """All-timestep forward DP.
+
+    Args:
+      emit: [T, B, S] extended-label emission log-probs, S % 128 == 0.
+      init: [B, S] alpha_0 row.
+      can_skip / valid: [B, S] float32 0/1 masks (skip INTO position s).
+      lens: [B] int32 valid frame counts.
+    Returns: alphas [T, B, S] float32.
+    """
+    t, b, s = emit.shape
+    bb = _batch_block(b)
+    row = lambda i: (i, 0)
+    blk3 = lambda i: (0, i, 0)
+    return pl.pallas_call(
+        _alpha_kernel,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((t, bb, s), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, bb, s), blk3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, s), jnp.float32),
+        interpret=interpret,
+    )(emit.astype(jnp.float32), init.astype(jnp.float32),
+      can_skip.astype(jnp.float32), valid.astype(jnp.float32),
+      lens.astype(jnp.int32).reshape(b, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def beta_xi(emit, alphas, init, skip_from, valid, lens, log_total, *,
+            interpret=False):
+    """Reverse DP fused with posteriors: xi [T, B, S], betas never hit HBM.
+
+    ``skip_from`` gates the s -> s+2 transition (= can_skip shifted left
+    by 2); ``init`` is the per-example end-state beta row; ``log_total``
+    is log P(labels) ([B]), -inf for unsatisfiable alignments (their xi
+    rows come out all zero).
+    """
+    t, b, s = emit.shape
+    bb = _batch_block(b)
+    row = lambda i: (i, 0)
+    blk3 = lambda i: (0, i, 0)
+    return pl.pallas_call(
+        _beta_xi_kernel,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((t, bb, s), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, bb, s), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, bb, s), blk3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, s), jnp.float32),
+        interpret=interpret,
+    )(emit.astype(jnp.float32), alphas.astype(jnp.float32),
+      init.astype(jnp.float32), skip_from.astype(jnp.float32),
+      valid.astype(jnp.float32), lens.astype(jnp.int32).reshape(b, 1),
+      log_total.astype(jnp.float32).reshape(b, 1))
