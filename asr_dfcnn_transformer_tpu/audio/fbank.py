@@ -203,7 +203,13 @@ def batched_fbank(signals: jnp.ndarray, lengths: jnp.ndarray,
 
     backend = cfg.backend
     if backend == "auto":
+        # Both paths are f32-FLOP-bound at large batch where they measure
+        # within ~25% of each other (b128: XLA 4.2 vs Pallas 5.6 ms); at
+        # small batch the kernel's fused DMA pipeline wins big (b32: 0.64
+        # vs 2.1 ms; b1 dominates single-utterance latency). Slope-timed
+        # on v5e — see DESIGN.md §3/§9.
         backend = ("pallas" if (cfg.win_len, cfg.hop) == (400, 160)
+                   and signals.shape[0] < 64
                    and jax.devices()[0].platform == "tpu" else "xla")
     if backend == "pallas":
         from asr_dfcnn_transformer_tpu.ops.pallas.fbank_kernel import (

@@ -17,12 +17,24 @@ carries one entry per benchmark config (BASELINE.json "configs"):
 All utterances are WORST-CASE full 1600-frame (16 s) inputs at reference
 geometry (200-dim fbank, acoustic vocab 1536, hanzi vocab 6345, LM
 12x512); real corpora with ~5 s means and length bucketing run
-proportionally faster. ALL timings run N iterations inside ONE jitted
-lax.scan whose carry is a data-dependent, non-foldable function of each
-iteration's output (sum(out) * 1e-30): pure device time that per-request
-result caching (observed on tunneled TPU backends) cannot inflate, XLA
-cannot constant-fold, and dead-code elimination cannot hollow out. Round
-1's repeat-input methodology overstated the XLA-fbank pipeline ~5x.
+proportionally faster.
+
+Timing methodology (two failure modes of naive timing on the tunneled
+TPU backend, both defeated):
+1. Per-request RESULT caching: byte-identical repeated requests return
+   ~5x too fast (observed round 1). Defense: every timed executable runs
+   EXACTLY ONCE, and all inputs are salted per process so no request is
+   ever repeated across runs either.
+2. Fixed per-request latency: every executed request costs ~34 ms flat
+   regardless of device work (measured round 2 — this inflated every
+   round-2 per-op number by ~34/iters ms). Defense: SLOPE timing — build
+   two scans of the same body with different trip counts (LO and
+   LO+iters), run each once cold, and divide the wall-time difference by
+   the trip-count difference. The fixed cost cancels exactly; the scan
+   carry stays a data-dependent function of each iteration's output
+   (sum(out) * 1e-30) so XLA cannot fold, hoist, or DCE the body.
+   Calibration: an 8192^3 bf16 matmul slope-times at 95% of the chip's
+   published peak, and a 78 MB elementwise op at HBM bandwidth.
 
     python bench.py              # full suite (one JSON line)
     python bench.py --only lm_only --batch 64
@@ -38,38 +50,50 @@ FRAMES = 1600
 N_SAMPLES = (FRAMES - 1) * 160 + 400
 ACOUSTIC_VOCAB, LANGUAGE_VOCAB = 1536, 6345
 UTT_SECONDS = 16.0
+_LO = 10                       # base trip count for slope timing
+_SALT = time.time_ns() % (1 << 31)   # per-process input salt (see header)
 
 
-def _signals(batch, seed=0):
+def _signals(batch, seed=None):
     import jax
-    rs = np.random.default_rng(seed)
+    rs = np.random.default_rng(_SALT if seed is None else seed)
     sig = (0.1 * rs.standard_normal((batch, N_SAMPLES))).astype(np.float32)
     return (jax.device_put(sig),
             jax.device_put(np.full((batch,), N_SAMPLES, np.int32)))
 
 
-def _scan_time(body, x, iters=10):
-    """Seconds/iteration of ``body(x + carry, i)`` scanned ``iters`` times
-    inside one jit. The carry is sum(output) * 1e-30 — data-dependent so
-    nothing folds, caches, or DCEs; numerically a no-op perturbation."""
+def _scan_time(body, x, iters=100):
+    """Seconds/iteration of ``body(x + carry, i)`` by slope timing: two
+    jitted scans (_LO and _LO+iters trips); the difference cancels the
+    backend's fixed per-request cost. Each executable is warmed up ONCE
+    on a perturbed copy of the input (compilation on the tunneled backend
+    is asynchronous — the first execution absorbs the compile wait), then
+    timed ONCE on the real input: warmup and timed requests differ in
+    argument bytes, so per-request result caching can never serve a timed
+    call (see module docstring)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def multi(x):
-        def step(c, i):
-            out = body(x + c.astype(x.dtype), i)
-            first = jax.tree.leaves(out)[0]
-            return jnp.sum(first.astype(jnp.float32)) * 1e-30, 0
-        return jax.lax.scan(step, jnp.zeros((), jnp.float32),
-                            jnp.arange(iters))[0]
+    def make(trips):
+        def multi(x):
+            def step(c, i):
+                out = body(x + c.astype(x.dtype), i)
+                first = jax.tree.leaves(out)[0]
+                return jnp.sum(first.astype(jnp.float32)) * 1e-30, 0
+            return jax.lax.scan(step, jnp.zeros((), jnp.float32),
+                                jnp.arange(trips))[0]
+        return jax.jit(multi).lower(x).compile()
 
-    out = multi(x)
-    jax.block_until_ready(out)
+    flo, fhi = make(_LO), make(_LO + iters)
+    x_warm = (x + jnp.asarray(1, x.dtype)).block_until_ready()
+    float(flo(x_warm))   # scalar fetch = completion barrier
+    float(fhi(x_warm))
     t0 = time.perf_counter()
-    out = multi(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    float(flo(x))
+    t1 = time.perf_counter()
+    float(fhi(x))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / iters
 
 
 class _Models:
@@ -119,12 +143,12 @@ def _pipeline_fn(m, am, am_vars, decode="greedy", beam_width=8,
 
 
 def bench_am_lm(m, batch, am=None, am_vars=None, decode="greedy",
-                noise=False, iters=10):
+                noise=False, iters=100):
     import jax
     fwd = _pipeline_fn(m, am or m.am, am_vars or m.am_vars, decode=decode,
                        noise=noise)
     sig, lens = _signals(batch)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(_SALT)
     dt = _scan_time(
         lambda z, i: fwd(z, lens, jax.random.fold_in(key, i)), sig,
         iters=iters)
@@ -151,7 +175,7 @@ def bench_single_utt(m):
                                  max_output_len=64)
 
     sig, lens = _signals(1)
-    dt = _scan_time(lambda z, i: forward(z, lens), sig, iters=20)
+    dt = _scan_time(lambda z, i: forward(z, lens), sig, iters=400)
     return {"latency_ms": round(1000 * dt, 2),
             "rtfx": round(UTT_SECONDS / dt, 1)}
 
@@ -164,24 +188,51 @@ def bench_lm_only(m, batch=128, seq_len=64):
     def forward(ids):
         return jnp.argmax(m.lm.apply(m.lm_vars, ids, train=False), axis=-1)
 
-    rs = np.random.default_rng(0)
+    rs = np.random.default_rng(_SALT)
     ids = jax.device_put(
         rs.integers(3, ACOUSTIC_VOCAB - 1, (batch, seq_len)).astype(np.int32))
-    dt = _scan_time(lambda z, i: forward(z), ids, iters=20)
+    dt = _scan_time(lambda z, i: forward(z), ids, iters=400)
     return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2)}
 
 
-def bench_train(m, fast=False, batch=64, steps=10):
+def _train_scan_time(step_fn, state, steps):
+    """Slope timing for a training step: two AOT-compiled scans of the
+    step (_LO and _LO+steps trips) from the same initial state, each run
+    once cold (same defenses as _scan_time)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(trips):
+        def multi(state, rng):
+            def body(st, i):
+                st, loss = step_fn(st, jax.random.fold_in(rng, i))
+                return st, loss
+            return jax.lax.scan(body, state, jnp.arange(trips))[1]
+        key = jax.random.PRNGKey(_SALT + trips)
+        return jax.jit(multi).lower(state, key).compile(), key
+
+    (mlo, klo), (mhi, khi) = make(_LO), make(_LO + steps)
+    kw = jax.random.PRNGKey(_SALT + 7)   # warmup: distinct request bytes
+    jax.block_until_ready(np.asarray(mlo(state, kw)))
+    jax.block_until_ready(np.asarray(mhi(state, kw)))
+    t0 = time.perf_counter()
+    np.asarray(mlo(state, klo))
+    t1 = time.perf_counter()
+    np.asarray(mhi(state, khi))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / steps
+
+
+def bench_train(m, fast=False, batch=64, steps=40):
     """BASELINE config 5: full training step (pure device time, scanned)."""
     import tempfile
 
     import jax
-    import jax.numpy as jnp
     from asr_dfcnn_transformer_tpu.data.loader import AMBatch
     from asr_dfcnn_transformer_tpu.train import AMTrainer
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_SALT)
     sig = (0.1 * rng.standard_normal((batch, N_SAMPLES))).astype(np.float32)
     lab = np.concatenate([rng.integers(3, ACOUSTIC_VOCAB - 64, (batch, 48)),
                           np.zeros((batch, 16))], 1).astype(np.int32)
@@ -199,35 +250,25 @@ def bench_train(m, fast=False, batch=64, steps=10):
                                        ab.pinyin, ab.pinyin_lengths,
                                        ab.weights)]
 
-    @jax.jit
-    def multi(state, rng):
-        def body(st, i):
-            st, metrics = tr._train_step(st, *dev, jax.random.fold_in(rng, i),
-                                         ab.bucket_frames)
-            return st, metrics["loss"]
-        return jax.lax.scan(body, state, jnp.arange(steps))
+    def step_fn(st, key):
+        st, metrics = tr._train_step(st, *dev, key, ab.bucket_frames)
+        return st, metrics["loss"]
 
-    st, losses = multi(tr.state, jax.random.PRNGKey(1))
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    st, losses = multi(st, jax.random.PRNGKey(2))
-    jax.block_until_ready(losses)
-    dt = (time.perf_counter() - t0) / steps
+    dt = _train_scan_time(step_fn, tr.state, steps)
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
             "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1)}
 
 
-def bench_train_lm(m, batch=64, seq_len=64, steps=10):
+def bench_train_lm(m, batch=64, seq_len=64, steps=100):
     """LM training step (train_language_model cadence, train.py:100-165)."""
     import tempfile
 
     import jax
-    import jax.numpy as jnp
     from asr_dfcnn_transformer_tpu.data.loader import LMBatch
     from asr_dfcnn_transformer_tpu.train import LMTrainer
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_SALT)
     lb = LMBatch(
         pinyin=rng.integers(3, ACOUSTIC_VOCAB - 1,
                             (batch, seq_len)).astype(np.int32),
@@ -239,36 +280,26 @@ def bench_train_lm(m, batch=64, seq_len=64, steps=10):
     tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), lb))
     dev = [jax.device_put(x) for x in (lb.pinyin, lb.hanzi, lb.weights)]
 
-    @jax.jit
-    def multi(state, rng):
-        def body(st, i):
-            st, metrics = tr._train_step(st, *dev,
-                                         jax.random.fold_in(rng, i))
-            return st, metrics["loss"]
-        return jax.lax.scan(body, state, jnp.arange(steps))
+    def step_fn(st, key):
+        st, metrics = tr._train_step(st, *dev, key)
+        return st, metrics["loss"]
 
-    st, losses = multi(tr.state, jax.random.PRNGKey(1))
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    st, losses = multi(st, jax.random.PRNGKey(2))
-    jax.block_until_ready(losses)
-    dt = (time.perf_counter() - t0) / steps
+    dt = _train_scan_time(step_fn, tr.state, steps)
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2)}
 
 
-def bench_train_e2e(m, batch=8, steps=5):
+def bench_train_e2e(m, batch=8, steps=60):
     """End-to-end speech-Transformer training step (reference cadence:
     batch 8, 80-dim features, end2end/model.py:15-54)."""
     import tempfile
 
     import jax
-    import jax.numpy as jnp
     from asr_dfcnn_transformer_tpu import models
     from asr_dfcnn_transformer_tpu.data.loader import AMBatch
     from asr_dfcnn_transformer_tpu.train import E2ETrainer
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_SALT)
     sig = (0.1 * rng.standard_normal((batch, N_SAMPLES))).astype(np.float32)
     lab = np.concatenate([rng.integers(3, 6000, (batch, 48)),
                           np.zeros((batch, 16))], 1).astype(np.int32)
@@ -287,21 +318,11 @@ def bench_train_e2e(m, batch=8, steps=5):
     dev = [jax.device_put(x) for x in (ab.signals, ab.signal_lengths,
                                        dec_in, targets)]
 
-    @jax.jit
-    def multi(state, rng):
-        def body(st, i):
-            st, metrics = tr._train_step(st, *dev,
-                                         jax.random.fold_in(rng, i),
-                                         ab.bucket_frames)
-            return st, metrics["loss"]
-        return jax.lax.scan(body, state, jnp.arange(steps))
+    def step_fn(st, key):
+        st, metrics = tr._train_step(st, *dev, key, ab.bucket_frames)
+        return st, metrics["loss"]
 
-    st, losses = multi(tr.state, jax.random.PRNGKey(1))
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    st, losses = multi(st, jax.random.PRNGKey(2))
-    jax.block_until_ready(losses)
-    dt = (time.perf_counter() - t0) / steps
+    dt = _train_scan_time(step_fn, tr.state, steps)
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
             "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1)}
@@ -327,6 +348,27 @@ def main():
     argv = sys.argv[1:]
     batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 128
     only = argv[argv.index("--only") + 1] if "--only" in argv else None
+
+    if "--calibrate" in argv:
+        # prove the slope harness against physics: a big matmul should
+        # land near the chip's published peak, an elementwise op near HBM
+        # bandwidth, and a no-op near zero.
+        import jax.numpy as jnp
+        a = jax.device_put(
+            np.random.default_rng(_SALT).standard_normal(
+                (8192, 8192)).astype(np.float32)).astype(jnp.bfloat16)
+        t_mm = _scan_time(lambda x, i: x @ x, a, iters=200)
+        big = jax.device_put(np.ones((19_660_800,), np.float32))
+        t_cp = _scan_time(lambda x, i: x + 1.0, big, iters=200)
+        t_nop = _scan_time(lambda x, i: x, jnp.zeros((8, 128)), iters=400)
+        print(json.dumps({
+            "matmul_8k3_bf16_ms": round(1e3 * t_mm, 3),
+            "matmul_tflops": round(2 * 8192**3 / t_mm / 1e12, 1),
+            "copy_78MB_ms": round(1e3 * t_cp, 3),
+            "copy_GBps": round(2 * 78.6e-3 / t_cp, 1),
+            "noop_us": round(1e6 * t_nop, 2),
+        }, ), flush=True)
+        return
 
     m = _Models()
     suite = {}
@@ -360,7 +402,7 @@ def main():
         suite["lm_only"] = bench_lm_only(m)
     if want("beam_noise_pipeline"):
         suite["beam_noise_pipeline"] = bench_am_lm(m, batch, decode="beam",
-                                                   noise=True, iters=5)
+                                                   noise=True, iters=50)
     if only is None:
         emit()  # checkpoint: the five BASELINE configs are in
     if want("am_lm_fast_b128"):
