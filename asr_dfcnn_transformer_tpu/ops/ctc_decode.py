@@ -83,17 +83,26 @@ def ctc_greedy_decode(logits: jnp.ndarray,
     return ids, lengths
 
 
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+    if backend not in ("pallas", "scan"):
+        raise ValueError(f"unknown beam-search backend {backend!r}")
+    return backend
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("beam_width", "topk", "blank_id", "max_decode_len",
-                     "return_all"))
+                     "return_all", "backend"))
 def ctc_beam_search_decode(logits: jnp.ndarray,
                            logit_lengths: jnp.ndarray,
                            beam_width: int = 8,
                            topk: int = 8,
                            blank_id: int = -1,
                            max_decode_len: int = 64,
-                           return_all: bool = False):
+                           return_all: bool = False,
+                           backend: str = "auto"):
     """Vectorized CTC prefix beam search.
 
     Args:
@@ -103,6 +112,8 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
       topk: symbol extensions considered per step (K).
       max_decode_len: prefix length cap (labels are <= 64 in this task,
         reference data_loader.py:141).
+      backend: "auto" (in-VMEM Pallas kernel on TPU, lax.scan elsewhere),
+        "pallas", or "scan" — identical results (ops/pallas/beam_kernel.py).
     Returns:
       (ids [B, max_decode_len] best prefix, lengths [B],
        neg_log_prob [B] of the best prefix).
@@ -115,6 +126,15 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
     lcap = max_decode_len
 
     lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    if _resolve_backend(backend) == "pallas":
+        from asr_dfcnn_transformer_tpu.ops.pallas import beam_kernel
+        top_lp_all, top_ids_all = jax.lax.top_k(lp_all, k)
+        prefixes, plen, pb, pnb = beam_kernel.beam_search(
+            lp_all, top_lp_all, top_ids_all, logit_lengths,
+            beam_width=w, topk=k, blank=blank, max_decode_len=lcap,
+            interpret=jax.default_backend() != "tpu")
+        return _beam_finish(prefixes, plen, pb, pnb, lcap, return_all)
 
     # Beam state (per batch): prefixes, lengths, rolling hashes, pb/pnb.
     prefixes0 = jnp.zeros((b, w, lcap), jnp.int32)
@@ -243,7 +263,10 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
           jnp.moveaxis(lp_blank_all, 1, 0),
           jnp.arange(t))
     (prefixes, plen, _, _, pb, pnb), _ = jax.lax.scan(step, state0, xs)
+    return _beam_finish(prefixes, plen, pb, pnb, lcap, return_all)
 
+
+def _beam_finish(prefixes, plen, pb, pnb, lcap, return_all):
     total = jnp.logaddexp(pb, pnb)
     if return_all:
         return prefixes, plen, total
