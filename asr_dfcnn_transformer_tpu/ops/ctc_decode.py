@@ -121,7 +121,7 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
     b, t, v = logits.shape
     blank = blank_id % v
     w = beam_width
-    k = topk
+    k = min(topk, v)   # can't consider more extensions than symbols exist
     m = w * (k + 1)  # candidates per step
     lcap = max_decode_len
 

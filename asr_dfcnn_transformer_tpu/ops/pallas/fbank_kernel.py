@@ -1,7 +1,7 @@
 """Fused log-mel spectrogram Pallas kernel.
 
 Replaces the XLA pipeline frame-gather -> rFFT/DFT -> power -> mel ->
-log with ONE kernel per (utterance, 128-frame tile), and never
+log with one kernel step per (utterance, <=800-frame tile), and never
 materializes the 2.5x-expanded frame matrix anywhere — not even in VMEM:
 
 With hop 160 = one sublane row of a [rows, 160] view of the signal,
@@ -11,17 +11,23 @@ the DFT bases:
 
     frames @ Basis = A @ Basis[0:160] + B @ Basis[160:320] + C80 @ Basis[320:400]
 
-where A/B/C are the same signal tile shifted by 0/1/2 rows. The kernel
-DMAs the three shifted views (HBM -> VMEM, offset-0 layouts so Mosaic is
-happy), runs 6 MXU matmuls (cos+sin x 3 shifts), squares, projects through
+where A/B/C are the same signal tile shifted by 0/1/2 rows. Each grid
+step DMAs one tile's row view (HBM -> VMEM, double-buffered so the next
+tile's copy overlaps this one's matmuls), runs 6 MXU matmuls (cos+sin x
+3 shifts) with M = up to 800 frames at once, squares, projects through
 the mel bank and takes the log — all in VMEM. HBM traffic is signal in
-(~3x 4 bytes/sample) + log-mel out.
+(~1.6x 4 bytes/sample from lane padding) + log-mel out. The tile is the
+whole utterance when it fits (MAX_TILE=800; the 16MB scoped-VMEM stack
+bounds it — shifted row views + re/im/power temporaries are ~11KB per
+frame): big-M matmuls keep the MXU fed and amortize per-step grid
+overhead, which dominated the earlier 320-frame tiling at large batch
+(DESIGN.md §3/§9).
 
 Per-utterance CMVN stays outside (it needs global-time statistics; one
 cheap fused elementwise pass).
 
 Geometry fixed to the reference front-end (wav_util.py:22-31 semantics):
-win 400, hop 160, nfft 512, fs 16k. Tile = 128 frames.
+win 400, hop 160, nfft 512, fs 16k.
 """
 
 from __future__ import annotations
@@ -40,10 +46,10 @@ from asr_dfcnn_transformer_tpu.audio.fbank import (
     mel_filterbank,
 )
 
-TILE_T = 320          # frames per kernel step (1600 = 5 tiles, zero waste)
 HOP = 160
 ROW = 256             # signal rows are padded 160 -> 256 lanes (DMA-aligned)
 WIN = 400
+MAX_TILE = 800        # frames per grid step (whole utterance if it fits)
 _EPS = float(np.finfo(np.float64).eps)
 
 
@@ -52,17 +58,17 @@ def _kernel(sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf, sems):
     i = pl.program_id(1)
     nb = pl.num_programs(0)
     nt = pl.num_programs(1)
+    tile = out_ref.shape[1]
+    n_rows = buf.shape[1]
     # double-buffered manual DMA: each grid step waits on the copy its
     # predecessor launched and prefetches the next tile, so HBM reads
-    # overlap the matmuls. One aligned DMA of TILE_T+8 rows (sublane
-    # offsets must be provably 8-divisible); the +1/+2 row shifts happen
-    # in VMEM via roll.
+    # overlap the matmuls.
     k = b * nt + i
     slot = jax.lax.rem(k, 2)
 
     def dma(bb, ii, s):
         return pltpu.make_async_copy(
-            sig_ref.at[bb, pl.ds(ii * TILE_T, TILE_T + 8), :],
+            sig_ref.at[bb, pl.ds(ii * tile, tile + 8), :],
             buf.at[s], sems.at[s])
 
     @pl.when(k == 0)
@@ -77,12 +83,11 @@ def _kernel(sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf, sems):
 
     dma(b, i, slot).wait()
     rows = buf[slot]
-    n_rows = TILE_T + 8
-    a = rows[0:TILE_T]
+    a = rows[0:tile]
     # pltpu.roll wants non-negative circular shifts: rolling by L-k moves
     # row i+k to position i
-    b_rows = pltpu.roll(rows, shift=n_rows - 1, axis=0)[0:TILE_T]
-    c_rows = pltpu.roll(rows, shift=n_rows - 2, axis=0)[0:TILE_T]
+    b_rows = pltpu.roll(rows, shift=n_rows - 1, axis=0)[0:tile]
+    c_rows = pltpu.roll(rows, shift=n_rows - 2, axis=0)[0:tile]
 
     def dft(basis_ref):
         # rows are 160 real samples zero-padded to 256 lanes; contracting
@@ -110,14 +115,21 @@ def pallas_log_mel(signals: jnp.ndarray, out_frames: int,
                    interpret: bool = False) -> jnp.ndarray:
     """[B, S] pre-emphasized signals -> [B, out_frames, nfilt] log-mel.
 
-    ``out_frames`` is rounded up to a multiple of 128 internally and the
-    result sliced back. The caller is responsible for pre-emphasis and for
+    ``out_frames`` is rounded up to a multiple of 8 (and split into equal
+    <=MAX_TILE-frame tiles) internally and the result sliced back. The caller is responsible for pre-emphasis and for
     masking padding (audio.fbank.batched_fbank does both).
     """
     assert cfg.win_len == WIN and cfg.hop == HOP, "kernel fixed to 400/160"
     b, s = signals.shape
-    t_tiles = -(-out_frames // TILE_T)
-    rows_total = t_tiles * TILE_T + 8   # +8: aligned-DMA over-read room
+    # Tile = up to MAX_TILE frames per grid step (the whole utterance when
+    # it fits): M=800 matmuls keep the MXU fed and amortize per-step grid
+    # overhead; larger tiles blow the 16MB scoped-VMEM stack (the shifted
+    # row views + re/im/power temporaries are ~11KB/frame).
+    t8 = -(-out_frames // 8) * 8
+    t_tiles = -(-t8 // MAX_TILE)
+    tile = -(-(-(-t8 // t_tiles)) // 8) * 8
+    t_all = tile * t_tiles
+    rows_total = t_all + 8   # +2 shifted rows, padded to sublane multiple
     need = rows_total * HOP
     if s < need:
         signals = jnp.pad(signals, ((0, 0), (0, need - s)))
@@ -163,21 +175,20 @@ def pallas_log_mel(signals: jnp.ndarray, out_frames: int,
             pl.BlockSpec((nbins, cfg.nfilt), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_T, cfg.nfilt),
+        out_specs=pl.BlockSpec((1, tile, cfg.nfilt),
                                lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_tiles * TILE_T, cfg.nfilt),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t_all, cfg.nfilt), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_T + 8, ROW), jnp.float32),
+            pltpu.VMEM((2, tile + 8, ROW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t_tiles * TILE_T * WIN * nbins * 2
-            + 2 * b * t_tiles * TILE_T * nbins * cfg.nfilt,
-            bytes_accessed=3 * b * need * 4
-            + b * t_tiles * TILE_T * cfg.nfilt * 4,
-            transcendentals=b * t_tiles * TILE_T * cfg.nfilt,
+            flops=2 * b * t_all * WIN * nbins * 2
+            + 2 * b * t_all * nbins * cfg.nfilt,
+            bytes_accessed=b * need * 4 * 8 // 5
+            + b * t_all * cfg.nfilt * 4,
+            transcendentals=b * t_all * cfg.nfilt,
         ),
         interpret=interpret,
     )(sig_rows, jnp.asarray(cos_blocks), jnp.asarray(sin_blocks),
