@@ -380,7 +380,10 @@ def main():
         """Print the (current) result line. Called once mid-suite and once
         at the end so that even a time-capped run leaves a complete JSON
         record as its last stdout line."""
-        head = suite.get("am_lm_b128", next(iter(suite.values())))
+        head = suite.get("am_lm_b128", {})
+        if "utts_per_sec" not in head:   # headline errored: first good one
+            head = next((v for v in suite.values()
+                         if "utts_per_sec" in v), {})
         utts = head.get("utts_per_sec", 0.0)
         print(json.dumps({
             "metric": "am_lm_inference_utts_per_sec_per_chip",
@@ -392,31 +395,41 @@ def main():
                       "suite": suite},
         }), flush=True)
 
-    if want("am_lm_b128"):
-        suite["am_lm_b128"] = bench_am_lm(m, batch)
-    if want("single_utt_greedy"):
-        suite["single_utt_greedy"] = bench_single_utt(m)
-    if want("am_batched_b32"):
-        suite["am_batched_b32"] = bench_am_lm(m, 32)
-    if want("lm_only"):
-        suite["lm_only"] = bench_lm_only(m)
-    if want("beam_noise_pipeline"):
-        suite["beam_noise_pipeline"] = bench_am_lm(m, batch, decode="beam",
-                                                   noise=True, iters=50)
-    if only is None:
+    def run(name, fn, retries=1):
+        """Run one suite config, surviving transient backend failures.
+
+        The tunneled TPU's remote-compile helper occasionally returns
+        HTTP 500 (observed round 2); one flaky config must not cost the
+        whole suite artifact. Failures are retried once, then recorded
+        as {"error": ...} so the final JSON line is always complete."""
+        if not want(name):
+            return
+        for attempt in range(retries + 1):
+            try:
+                suite[name] = fn()
+                return
+            except Exception as e:  # noqa: BLE001 — record and continue
+                err = f"{type(e).__name__}: {e}"
+                print(f"# {name} attempt {attempt + 1} failed: "
+                      f"{err[:300]}", file=sys.stderr, flush=True)
+        suite[name] = {"error": err[:500]}
+
+    run("am_lm_b128", lambda: bench_am_lm(m, batch))
+    run("single_utt_greedy", lambda: bench_single_utt(m))
+    run("am_batched_b32", lambda: bench_am_lm(m, 32))
+    run("lm_only", lambda: bench_lm_only(m))
+    run("beam_noise_pipeline", lambda: bench_am_lm(m, batch, decode="beam",
+                                                   noise=True, iters=50))
+    if only is None and suite:
         emit()  # checkpoint: the five BASELINE configs are in
-    if want("am_lm_fast_b128"):
-        suite["am_lm_fast_b128"] = bench_am_lm(m, batch, am=m.fast,
-                                               am_vars=m.fast_vars)
-    if want("train_step_standard"):
-        suite["train_step_standard"] = bench_train(m, fast=False)
-    if want("train_step_fast"):
-        suite["train_step_fast"] = bench_train(m, fast=True)
-    if want("train_step_lm"):
-        suite["train_step_lm"] = bench_train_lm(m)
-    if want("train_step_e2e"):
-        suite["train_step_e2e"] = bench_train_e2e(m)
-    emit()
+    run("am_lm_fast_b128", lambda: bench_am_lm(m, batch, am=m.fast,
+                                               am_vars=m.fast_vars))
+    run("train_step_standard", lambda: bench_train(m, fast=False))
+    run("train_step_fast", lambda: bench_train(m, fast=True))
+    run("train_step_lm", lambda: bench_train_lm(m))
+    run("train_step_e2e", lambda: bench_train_e2e(m))
+    if suite:
+        emit()
 
 
 if __name__ == "__main__":
