@@ -54,10 +54,9 @@ class FbankConfig:
     # "pallas": run framing+DFT+mel+log as one fused VMEM kernel
     # (ops/pallas/fbank_kernel.py) — no frame-expansion HBM traffic.
     # "xla": plain jnp pipeline. Pallas path requires win 400 / hop 160.
-    # "auto" (default): pallas on TPU, xla elsewhere. Measured on v5e the
-    # fused kernel wins at every batch size once timing defeats the
-    # result-cache (b32: 2.4 vs 3.9 ms; b128: 7.4 vs ~95 ms device time);
-    # off-TPU the kernel would run interpreted, so auto keeps XLA there.
+    # "auto" (default): pick the faster backend per batch/platform — the
+    # kernel below batch 64 on TPU, XLA elsewhere (measured crossover,
+    # see batched_fbank and DESIGN.md §3).
     backend: str = "auto"
 
 
