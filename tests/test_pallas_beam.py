@@ -70,3 +70,20 @@ def test_beam_backend_validation():
     with pytest.raises(ValueError):
         ctc_beam_search_decode(jnp.zeros((1, 4, 5)), jnp.array([4]),
                                backend="nope")
+
+
+def test_beam_topk_clamped_to_vocab():
+    """Default topk (8) on a tiny vocab must not crash jax.lax.top_k; the
+    search still recovers the path (both backends)."""
+    B, T, V, blank = 1, 12, 6, 5
+    path = [0, blank, 2, 2, blank, 3, blank, 3, 1, blank, blank, 1]
+    logits = np.full((B, T, V), -5.0, np.float32)
+    for t, c in enumerate(path):
+        logits[0, t, c] = 5.0
+    lens = np.array([T], np.int32)
+    _compare(logits, lens, beam_width=4, blank_id=blank, max_decode_len=8)
+    ids, l, _ = ctc_beam_search_decode(
+        jnp.asarray(logits), jnp.asarray(lens), beam_width=4,
+        blank_id=blank, max_decode_len=8, backend="scan")
+    assert list(np.asarray(ids[0][:6])) == [0, 2, 3, 3, 1, 1]
+    assert int(l[0]) == 6
