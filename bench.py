@@ -110,6 +110,21 @@ class _Models:
                                     train=False)
         self.fast = models.SEDFCNN.fast(ACOUSTIC_VOCAB)
         self.fast_vars = self.fast.init(rng, feats0, train=False)
+        self._keras = None
+
+    @property
+    def keras(self):
+        """Keras cnn_ctc layout — the model a user migrating the
+        reference's shipped .hdf5 weights actually serves (lazy init)."""
+        if self._keras is None:
+            import jax
+            import jax.numpy as jnp
+            from asr_dfcnn_transformer_tpu import models
+            model = models.KerasDFCNN(vocab_size=ACOUSTIC_VOCAB)
+            feats0 = jnp.zeros((1, FRAMES, 200, 1), jnp.float32)
+            self._keras = (model, model.init(jax.random.PRNGKey(0), feats0,
+                                             train=False))
+        return self._keras
 
 
 def _pipeline_fn(m, am, am_vars, decode="greedy", beam_width=8,
@@ -424,6 +439,8 @@ def main():
         emit()  # checkpoint: the five BASELINE configs are in
     run("am_lm_fast_b128", lambda: bench_am_lm(m, batch, am=m.fast,
                                                am_vars=m.fast_vars))
+    run("am_lm_keras_b128", lambda: bench_am_lm(m, batch, am=m.keras[0],
+                                                am_vars=m.keras[1]))
     run("train_step_standard", lambda: bench_train(m, fast=False))
     run("train_step_fast", lambda: bench_train(m, fast=True))
     run("train_step_lm", lambda: bench_train_lm(m))
