@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = jnp.dtype
@@ -92,6 +93,35 @@ class SqueezeExcite(nn.Module):
         return x * e
 
 
+@jax.custom_vjp
+def _take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """``table[ids]`` with an MXU-friendly backward.
+
+    ``jnp.take``'s VJP is a scatter-add, which serializes on TPU: the
+    token-embedding gradient alone measured 9.9 ms of a 14.5 ms LM train
+    step ([64,64] ids into a [1536,512] table, v5e). The custom VJP
+    computes ``d(table) = one_hot(ids)^T @ g`` — one [V, N]x[N, D]
+    matmul (~0.07 ms for the same shapes), numerically the same sum.
+    """
+    return jnp.take(table, ids, axis=0)
+
+
+def _take_rows_fwd(table, ids):
+    return _take_rows(table, ids), (ids, table.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    ids, vocab = res
+    flat_ids = ids.reshape(-1)
+    gflat = g.reshape(flat_ids.shape[0], -1)
+    one_hot = jax.nn.one_hot(flat_ids, vocab, dtype=gflat.dtype)
+    dtable = jnp.dot(one_hot.T, gflat, preferred_element_type=jnp.float32)
+    return dtable.astype(g.dtype), np.zeros(ids.shape, jax.dtypes.float0)
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 class ScaledEmbed(nn.Module):
     """Token embedding with optional sqrt(d) scaling and a zeroed PAD row
     (transformer.py:30-55 'zero_pad' + 'scale')."""
@@ -109,7 +139,7 @@ class ScaledEmbed(nn.Module):
             (self.vocab_size, self.features), jnp.float32)
         if self.zero_pad:
             table = jnp.asarray(table).at[0].set(0.0)
-        out = jnp.take(table, ids, axis=0).astype(self.dtype)
+        out = _take_rows(table, ids).astype(self.dtype)
         if self.scale:
             out = out * jnp.asarray(self.features ** 0.5, self.dtype)
         return out
@@ -130,7 +160,7 @@ class LearnedPositionEmbed(nn.Module):
         table = self.param("embedding", nn.initializers.normal(stddev=0.02),
                            (self.max_length, self.features), jnp.float32)
         idx = jnp.minimum(jnp.arange(length), self.max_length - 1)
-        return jnp.take(table, idx, axis=0).astype(self.dtype)
+        return _take_rows(table, idx).astype(self.dtype)
 
 
 def attention_mask(q_valid: jnp.ndarray, k_valid: jnp.ndarray,

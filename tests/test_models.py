@@ -268,3 +268,27 @@ def test_ctc_attention_parity_lengths(rng):
     pp = mp.init(rng, feats, valid, train=False)
     _, plens = mp.apply(pp, feats, valid, train=False)
     assert list(np.asarray(plens)) == [8, 5]  # min(t'=8, ceil(T/4))
+
+
+def test_take_rows_grad_matches_scatter():
+    """The one-hot-matmul embedding VJP must equal jnp.take's scatter-add
+    backward (incl. repeated ids, which must sum)."""
+    from asr_dfcnn_transformer_tpu.models.layers import _take_rows
+    rs = np.random.default_rng(11)
+    table = jnp.asarray(rs.standard_normal((17, 8)), jnp.float32)
+    ids = jnp.asarray([[0, 3, 3, 16], [7, 0, 0, 3]], jnp.int32)
+    cot = jnp.asarray(rs.standard_normal((2, 4, 8)), jnp.float32)
+
+    def f_custom(t):
+        return jnp.sum(_take_rows(t, ids) * cot)
+
+    def f_ref(t):
+        return jnp.sum(jnp.take(t, ids, axis=0) * cot)
+
+    g_custom = jax.grad(f_custom)(table)
+    g_ref = jax.grad(f_ref)(table)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+    # forward unchanged
+    np.testing.assert_array_equal(np.asarray(_take_rows(table, ids)),
+                                  np.asarray(jnp.take(table, ids, axis=0)))
