@@ -223,9 +223,15 @@ def _beam_kernel(lens_ref, lp_hbm, toplp_ref, topid_ref,
 
 def _batch_block(b: int) -> int:
     # 8 = one sublane tile. Larger blocks would amortize per-step loop
-    # overhead further, but any multi-tile batch block (16/32/128) trips an
-    # internal check in Mosaic's layout inference on this toolchain
-    # ("limits[i] <= dim(i)" abort) — revisit when the compiler moves.
+    # overhead ~BB/8x (state ops on [8, W] use 1/16 of each vreg), but any
+    # multi-tile batch block (16/32/128) SIGABRTs Mosaic's layout
+    # inference on this toolchain. Round-2 bisect: the duplicate-merge's
+    # [BB, M, M] broadcast-transposes (`x[:, None, :]` lane->sublane) are
+    # one trigger — rewritable as an M-iteration loop of 2D ops — but a
+    # second trigger remains somewhere in the pick/rebuild stages
+    # (pick-without-merge also aborts while the same pattern isolated in a
+    # micro-kernel compiles), so the rewrite is deferred until the
+    # compiler moves or the second trigger is isolated.
     for bb in (8, 4, 2, 1):
         if b % bb == 0:
             return bb
