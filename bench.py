@@ -78,8 +78,13 @@ def _scan_time(body, x, iters=100):
         def multi(x):
             def step(c, i):
                 out = body(x + c.astype(x.dtype), i)
-                first = jax.tree.leaves(out)[0]
-                return jnp.sum(first.astype(jnp.float32)) * 1e-30, 0
+                # consume EVERY output leaf: carrying only the first one
+                # let XLA dead-code-eliminate later pipeline stages (the
+                # LM vanished from the "AM+LM" benches — caught round 2;
+                # the per-leaf sums themselves are noise-level work)
+                tot = sum(jnp.sum(leaf.astype(jnp.float32))
+                          for leaf in jax.tree.leaves(out))
+                return tot * 1e-30, 0
             return jax.lax.scan(step, jnp.zeros((), jnp.float32),
                                 jnp.arange(trips))[0]
         return jax.jit(multi).lower(x).compile()
