@@ -115,7 +115,10 @@ def _take_rows_bwd(res, g):
     flat_ids = ids.reshape(-1)
     gflat = g.reshape(flat_ids.shape[0], -1)
     one_hot = jax.nn.one_hot(flat_ids, vocab, dtype=gflat.dtype)
-    dtable = jnp.dot(one_hot.T, gflat, preferred_element_type=jnp.float32)
+    # HIGHEST precision keeps the sum exact vs the scatter-add it replaces
+    # (the TPU default rounds the incoming gradients through bf16 operands)
+    dtable = jnp.dot(one_hot.T, gflat, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return dtable.astype(g.dtype), np.zeros(ids.shape, jax.dtypes.float0)
 
 

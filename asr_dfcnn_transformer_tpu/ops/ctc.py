@@ -78,9 +78,13 @@ def _emissions(lp, ext):
     the scan was the original 10x-slower hot spot); this matmul form costs
     0.12 ms at [64, 200, 1536] (slope-timed, v5e): the 78 MB lp tensor is
     read exactly once and the "gather" rides the MXU. Exact: one nonzero
-    per contraction row."""
+    per contraction row — but only at HIGHEST matmul precision; the TPU
+    default would round operands through one bf16 pass and perturb every
+    emission log-prob (~3 significant digits)."""
     onehot = _one_hot_ext(ext, lp.shape[-1], lp.dtype)
-    return jnp.einsum("bsv,btv->bst", onehot, lp)                # [B, S, T]
+    return jnp.einsum("bsv,btv->bst", onehot, lp,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)        # [B, S, T]
 
 
 def _alpha0(lp, emit_all, label_lengths, valid_ext, blank):
@@ -211,7 +215,8 @@ def _alpha_pallas(lp, emit_all, logit_lengths, label_lengths, valid_ext,
     """Returns (log P [B], alphas [T, B, S_pad])."""
     k, emit_tbs, valid_p, skip_p, init, s = _prepare_pallas(
         lp, emit_all, label_lengths, valid_ext, can_skip, blank)
-    alphas = k.alpha_stack(emit_tbs, init, skip_p, valid_p, logit_lengths)
+    alphas = k.alpha_stack(emit_tbs, init, skip_p, valid_p, logit_lengths,
+                           interpret=jax.default_backend() != "tpu")
     total = _total_from_alpha(alphas[-1, :, :s], label_lengths)
     return total, alphas
 
@@ -226,7 +231,8 @@ def _xi_pallas(lp, emit_all, alphas_pad, logit_lengths, label_lengths,
     skip_from = jnp.pad(can_skip, ((0, 0), (0, 2)))[:, 2:]
     skip_from_p = _pad_lane(skip_from, s_pad, False)
     xi = k.beta_xi(emit_tbs, alphas_pad, init, skip_from_p, valid_p,
-                   logit_lengths, log_total)
+                   logit_lengths, log_total,
+                   interpret=jax.default_backend() != "tpu")
     return xi[:, :, :s]
 
 
@@ -288,7 +294,9 @@ def _ctc_bwd(blank, logits_are_log_probs, use_pallas, res, g):
 
     # scatter-by-class as an MXU contraction: gamma[b,t,v] = xi @ onehot(ext)
     onehot = _one_hot_ext(ext, v, xi.dtype)                      # [B, S, V]
-    gamma = jnp.einsum("tbs,bsv->btv", xi, onehot)               # [B, T, V]
+    gamma = jnp.einsum("tbs,bsv->btv", xi, onehot,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)       # [B, T, V]
 
     if logits_are_log_probs:
         dlp = -gamma

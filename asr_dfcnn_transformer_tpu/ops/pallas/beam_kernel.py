@@ -29,6 +29,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+# Picked candidates are masked strictly BELOW the dead-candidate score so
+# that when live candidates run out (beam_width > live, e.g. W > K+1 or a
+# vocab smaller than W), successive argmax rounds fall back to the distinct
+# dead candidates in ascending index order — matching lax.top_k's
+# distinct-index tie behavior in the scan backend. Masking to _NEG_INF
+# itself would tie with dead candidates and re-pick index 0's live entry,
+# duplicating a full-mass beam that the next frame's merge double-counts.
+_PICKED = float(np.finfo(np.float32).min)
 # the scan path's rolling-hash multipliers, reinterpreted as int32: Mosaic
 # has no uint32 reductions, and int32 two's-complement mul/add wrap
 # bit-identically to uint32, so hash equality is preserved exactly
@@ -173,7 +181,7 @@ def _beam_kernel(lens_ref, lp_hbm, toplp_ref, topid_ref,
             n_len = put(n_len, pick1(cand_len))
             n_src = put(n_src, pick1(cand_src))
             n_add = put(n_add, pick1(cand_add))
-            rem = jnp.where(hit, _NEG_INF, rem)
+            rem = jnp.where(hit, _PICKED, rem)
             return (rem, n_pb, n_pnb, n_h1, n_h2, n_len, n_src, n_add)
 
         z_f = jnp.zeros((bb, w))
@@ -222,20 +230,21 @@ def _beam_kernel(lens_ref, lp_hbm, toplp_ref, topid_ref,
 
 
 def _batch_block(b: int) -> int:
-    # 8 = one sublane tile. Larger blocks would amortize per-step loop
-    # overhead ~BB/8x (state ops on [8, W] use 1/16 of each vreg), but any
-    # multi-tile batch block (16/32/128) SIGABRTs Mosaic's layout
-    # inference on this toolchain. Round-2 bisect: the duplicate-merge's
-    # [BB, M, M] broadcast-transposes (`x[:, None, :]` lane->sublane) are
-    # one trigger — rewritable as an M-iteration loop of 2D ops — but a
+    # 8 = one sublane tile; the caller pads the batch to a multiple of 8
+    # (smaller blocks would put the manual lp DMA's batch offset at a
+    # non-8-multiple sublane, which Mosaic's async-copy rules reject).
+    # Larger blocks would amortize per-step loop overhead ~BB/8x (state
+    # ops on [8, W] use 1/16 of each vreg), but any multi-tile batch
+    # block (16/32/128) SIGABRTs Mosaic's layout inference on this
+    # toolchain. Round-2 bisect: the duplicate-merge's [BB, M, M]
+    # broadcast-transposes (`x[:, None, :]` lane->sublane) are one
+    # trigger — rewritable as an M-iteration loop of 2D ops — but a
     # second trigger remains somewhere in the pick/rebuild stages
     # (pick-without-merge also aborts while the same pattern isolated in a
     # micro-kernel compiles), so the rewrite is deferred until the
     # compiler moves or the second trigger is isolated.
-    for bb in (8, 4, 2, 1):
-        if b % bb == 0:
-            return bb
-    return 1
+    del b
+    return 8
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "topk", "blank",
@@ -252,9 +261,16 @@ def beam_search(lp_all, top_lp_all, top_ids_all, logit_lengths, *,
       logit_lengths: [B].
     Returns: (prefixes [B, W, L], plen [B, W], pb [B, W], pnb [B, W]).
     """
-    b, t, v = lp_all.shape
+    b_in, t, v = lp_all.shape
     w, k, lcap = beam_width, topk, max_decode_len
-    bb = _batch_block(b)
+    bb = _batch_block(b_in)
+    b = -(-b_in // bb) * bb                # pad batch: 8-aligned DMA offsets
+    if b != b_in:
+        bpad = ((0, b - b_in),)
+        lp_all = jnp.pad(lp_all, bpad + ((0, 0), (0, 0)))
+        top_lp_all = jnp.pad(top_lp_all, bpad + ((0, 0), (0, 0)))
+        top_ids_all = jnp.pad(top_ids_all, bpad + ((0, 0), (0, 0)))
+        logit_lengths = jnp.pad(logit_lengths, bpad)       # len 0 => frozen
     v_pad = -(-v // 128) * 128                             # aligned DMA lanes
     if v_pad != v:
         lp_all = jnp.pad(lp_all, ((0, 0), (0, 0), (0, v_pad - v)),
@@ -305,4 +321,7 @@ def beam_search(lp_all, top_lp_all, top_ids_all, logit_lengths, *,
         interpret=interpret,
     )(jnp.broadcast_to(logit_lengths.astype(jnp.int32)[:, None], (b, 8)),
       lp_tbv.astype(jnp.float32), toplp.astype(jnp.float32), topid)
+    if b != b_in:
+        pref, plen, pb, pnb = (pref[:b_in], plen[:b_in], pb[:b_in],
+                               pnb[:b_in])
     return pref, plen, pb, pnb

@@ -72,6 +72,47 @@ def test_beam_backend_validation():
                                backend="nope")
 
 
+def test_beam_kernel_exhausted_candidates_no_duplicates():
+    """beam_width > topk+1: after round live-candidate exhaustion the pick
+    loop must fall back to DISTINCT dead candidates (regression: masking
+    picked entries to the dead-candidate score re-picked index 0, creating
+    full-mass duplicate beams whose merge double-counted probability)."""
+    rng = np.random.default_rng(7)
+    B, T, V = 2, 10, 12
+    logits = rng.standard_normal((B, T, V)).astype(np.float32) * 2.0
+    lens = np.array([T, T - 3], np.int32)
+    kw = dict(beam_width=6, topk=2, blank_id=-1, max_decode_len=6)
+    _compare(logits, lens, **kw)
+    # total probability over all beams must never exceed 1
+    _, _, tot = ctc_beam_search_decode(
+        jnp.asarray(logits), jnp.asarray(lens), return_all=True,
+        backend="pallas", **kw)
+    mass = np.log(np.sum(np.exp(np.asarray(tot)), axis=1))
+    assert np.all(mass <= 1e-4), mass
+
+
+def test_beam_kernel_default_width_small_vocab():
+    """Default beam_width=8 on a vocab < 8 (topk clamps below W): the
+    kernel must stay tie-safe and match the scan backend exactly."""
+    rng = np.random.default_rng(11)
+    B, T, V = 3, 14, 5
+    logits = rng.standard_normal((B, T, V)).astype(np.float32) * 2.0
+    lens = np.array([T, 4, T - 1], np.int32)
+    _compare(logits, lens, beam_width=8, topk=8, blank_id=-1,
+             max_decode_len=8)
+
+
+def test_beam_kernel_even_non8_batch():
+    """Batches that are even but not multiples of 8 (e.g. 12) exercise the
+    pad-to-8 path that keeps manual-DMA sublane offsets aligned."""
+    rng = np.random.default_rng(13)
+    B, T, V = 12, 9, 7
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    lens = rng.integers(1, T + 1, size=B).astype(np.int32)
+    _compare(logits, lens, beam_width=4, topk=3, blank_id=-1,
+             max_decode_len=6)
+
+
 def test_beam_topk_clamped_to_vocab():
     """Default topk (8) on a tiny vocab must not crash jax.lax.top_k; the
     search still recovers the path (both backends)."""
