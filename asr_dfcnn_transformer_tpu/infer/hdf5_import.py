@@ -112,6 +112,101 @@ def load_keras_dfcnn_hdf5(path: str, vocab_size: int,
     return {"params": params, "batch_stats": batch_stats}
 
 
+def _sorted_by_index(layers: Dict[str, List[np.ndarray]], prefix: str):
+    """Layers named ``prefix``/``prefix_N`` (TF2 0-based) or ``prefix_1..``
+    (Keras-2 1-based), sorted by creation index."""
+    keys = [k for k in layers
+            if k == prefix or (k.startswith(prefix + "_")
+                               and k[len(prefix) + 1:].isdigit())]
+    return [layers[k] for k in sorted(
+        keys, key=lambda k: int(k.split("_")[-1]) if k[-1].isdigit() else -1)]
+
+
+def load_keras_bigru_hdf5(path: str, vocab_size: int,
+                          hidden: int | None = None):
+    """Load a cnn_rnn_ctc-layout Keras weight file into
+    ``models.BiGRUCTC(keras_parity=True)`` variables.
+
+    Creation order (cnn_rnn_ctc.py:37-47): Dense512 x2, then per bi_gru
+    layer a forward GRU and a ``go_backwards`` GRU (y1 then y2,
+    cnn_rnn_ctc.py:49-54), then Dense512 + Dense vocab. Each Keras GRU
+    stores [kernel [F,3H], recurrent_kernel [H,3H], bias [3H]] with gate
+    order [z | r | h] — consumed verbatim by :class:`models.KerasGRU`.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        layers = _collect_layers(f)
+    denses = _sorted_by_index(layers, "dense")
+    grus = _sorted_by_index(layers, "gru")
+    if len(denses) != 4 or len(grus) != 6:
+        raise ValueError(
+            f"unexpected cnn_rnn_ctc layout: {len(denses)} denses, "
+            f"{len(grus)} GRUs (want 4/6)")
+    if denses[3][0].shape[1] != vocab_size:
+        raise ValueError(f"checkpoint vocab {denses[3][0].shape[1]} != "
+                         f"expected {vocab_size}")
+    if hidden is None:
+        hidden = grus[0][0].shape[1] // 3    # infer width from the file
+    if grus[0][0].shape[1] != 3 * hidden:
+        raise ValueError(f"checkpoint hidden {grus[0][0].shape[1] // 3} != "
+                         f"expected {hidden}")
+    params: Dict = {}
+    for i, d in enumerate(denses):
+        params[f"Dense_{i}"] = {"kernel": d[0], "bias": d[1]}
+    for layer in range(3):
+        for j, kind in enumerate(("fwd", "bwd")):
+            kernel, rec, bias = grus[2 * layer + j]
+            params[f"gru_{kind}_{layer}"] = {
+                "kernel": kernel, "recurrent_kernel": rec, "bias": bias}
+    return {"params": params}
+
+
+def save_keras_bigru_hdf5(path: str, variables, vocab_size: int,
+                          hidden: int = 512) -> None:
+    """Inverse of :func:`load_keras_bigru_hdf5` (Keras-2 1-based layer
+    names, as the reference's ``model.save_weights`` would produce)."""
+    import h5py
+
+    p = variables["params"]
+    if np.asarray(p["Dense_3"]["kernel"]).shape[1] != vocab_size:
+        raise ValueError("vocab mismatch")
+    if np.asarray(p["gru_fwd_0"]["kernel"]).shape[1] != 3 * hidden:
+        raise ValueError("hidden mismatch")
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        layer_names = []
+
+        def put(lname: str, names_arrays):
+            g = mw.create_group(lname)
+            wnames = []
+            for suffix, arr in names_arrays:
+                wname = f"{lname}/{suffix}:0"
+                g.create_dataset(wname, data=np.asarray(arr, np.float32))
+                wnames.append(wname)
+            g.attrs["weight_names"] = np.array([n.encode() for n in wnames])
+            layer_names.append(lname)
+
+        def put_dense(idx: int, flax_name: str):
+            put(f"dense_{idx}", [("kernel", p[flax_name]["kernel"]),
+                                 ("bias", p[flax_name]["bias"])])
+
+        def put_gru(idx: int, flax_name: str):
+            put(f"gru_{idx}",
+                [("kernel", p[flax_name]["kernel"]),
+                 ("recurrent_kernel", p[flax_name]["recurrent_kernel"]),
+                 ("bias", p[flax_name]["bias"])])
+
+        put_dense(1, "Dense_0")
+        put_dense(2, "Dense_1")
+        for layer in range(3):
+            put_gru(2 * layer + 1, f"gru_fwd_{layer}")
+            put_gru(2 * layer + 2, f"gru_bwd_{layer}")
+        put_dense(3, "Dense_2")
+        put_dense(4, "Dense_3")
+        mw.attrs["layer_names"] = np.array([n.encode() for n in layer_names])
+
+
 def save_keras_dfcnn_hdf5(path: str, variables, vocab_size: int,
                           dense_units: int = 128) -> None:
     """Inverse of :func:`load_keras_dfcnn_hdf5`: write KerasDFCNN variables

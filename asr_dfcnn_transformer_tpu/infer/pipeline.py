@@ -62,7 +62,7 @@ class Pipeline:
                  language_vocab: Optional[Vocab] = None,
                  feature_dim: int = 200, decode: str = "greedy",
                  beam_width: int = 8,
-                 lm_max_len: int = constants.MAX_LABEL_LENGTH,
+                 lm_max_len: Optional[int] = None,
                  mesh=None):
         self.am_model = am_model
         self.am_variables = am_variables
@@ -73,6 +73,15 @@ class Pipeline:
         self.fbank_cfg = FbankConfig(nfilt=feature_dim)
         self.decode = decode
         self.beam_width = beam_width
+        if lm_max_len is None:
+            # decode up to the LM's position cap (reference feeds the full
+            # decoded pinyin sequence into the LM, test.py:57-60 — up to
+            # its 100 learned positions), not just the 64-label training
+            # cap; without an LM the training cap stands.
+            lm_max_len = (getattr(lm_model, "position_max_length",
+                                  constants.MAX_LABEL_LENGTH)
+                          if lm_model is not None
+                          else constants.MAX_LABEL_LENGTH)
         self.lm_max_len = lm_max_len
         # Optional (data, model) mesh: batches shard over the data axis so
         # one Pipeline drives every chip (the reference is single-device,
@@ -244,6 +253,8 @@ class Pipeline:
         hanzi ids). Accuracy = 1 - clipped-edit-distance / ref-length
         (test.py:74-95).
         """
+        from asr_dfcnn_transformer_tpu.ops.edit_distance import (
+            batched_edit_distance)
         py_err = py_tot = han_err = han_tot = 0
         n_utts = 0
         log_lines: List[str] = []
@@ -253,22 +264,34 @@ class Pipeline:
             pny_ids = np.asarray(pny_ids)
             pny_len = np.asarray(pny_len)
             han_np = np.asarray(han_ids) if han_ids is not None else None
+            # distances on device: one wavefront DP per batch instead of a
+            # per-utterance Python loop (only the pred_log text needs host
+            # work)
+            d_py = np.asarray(batched_edit_distance(
+                jnp.asarray(pny_ids), jnp.asarray(pny_len),
+                jnp.asarray(batch.pinyin), jnp.asarray(batch.pinyin_lengths)))
+            if han_np is not None:
+                d_han = np.asarray(batched_edit_distance(
+                    jnp.asarray(han_np), jnp.asarray(pny_len),
+                    jnp.asarray(batch.hanzi),
+                    jnp.asarray(batch.hanzi_lengths)))
             for j in range(pny_ids.shape[0]):
                 if batch.weights[j] == 0:
                     continue
                 n_utts += 1
-                gt_py = list(batch.pinyin[j][: batch.pinyin_lengths[j]])
-                pred_py = list(pny_ids[j][: pny_len[j]])
-                d = edit_distance(gt_py, pred_py)
-                py_err += min(d, len(gt_py))
-                py_tot += len(gt_py)
+                gt_py_n = int(batch.pinyin_lengths[j])
+                py_err += min(int(d_py[j]), gt_py_n)
+                py_tot += gt_py_n
                 if han_np is not None:
-                    gt_h = list(batch.hanzi[j][: batch.hanzi_lengths[j]])
-                    pred_h = list(han_np[j][: pny_len[j]])
-                    dh = edit_distance(gt_h, pred_h)
-                    han_err += min(dh, len(gt_h))
-                    han_tot += len(gt_h)
+                    gt_h_n = int(batch.hanzi_lengths[j])
+                    han_err += min(int(d_han[j]), gt_h_n)
+                    han_tot += gt_h_n
                 if pred_log_path is not None:
+                    gt_py = list(batch.pinyin[j][: batch.pinyin_lengths[j]])
+                    pred_py = list(pny_ids[j][: pny_len[j]])
+                    if han_np is not None:
+                        gt_h = list(batch.hanzi[j][: batch.hanzi_lengths[j]])
+                        pred_h = list(han_np[j][: pny_len[j]])
                     gt_py_s = " ".join(self.av.decode(gt_py))
                     pred_py_s = " ".join(self.av.decode(pred_py))
                     log_lines.append(f"原文拼音结果: {gt_py_s}")

@@ -1,12 +1,22 @@
-"""Streaming / live-capture recognition API.
+"""Streaming / live-capture recognition APIs.
 
 The reference's live demo (``lm_and_am/read_wav.py``) records 16 s from a
 pyaudio microphone into a wav, then runs file inference — its imports are
 stale/broken (read_wav.py:5-11) but the capability intent is a push-audio
-recognition API. This module provides it without a hard pyaudio
-dependency: feed chunks from any source (mic callback, socket, file
-reader); the recognizer buffers to a ring capped at ``max_seconds`` (the
-reference records a fixed 16 s, read_wav.py:14-43) and decodes on demand.
+recognition API. Two implementations here:
+
+- :class:`StreamingRecognizer` — parity with the reference's
+  record-then-decode shape: ring buffer + full re-decode on ``result()``.
+- :class:`IncrementalRecognizer` — what a TPU-first framework should
+  offer: per-chunk cost is O(chunk), flat in stream length. Incremental
+  exact fbank (pre-emphasis carried across pushes, frames emitted only
+  once fully covered), group-frozen running CMVN, chunked conv encoder
+  with a receptive-field halo (each fixed-shape chunk program recomputes
+  only the halo), and a stateful CTC greedy collapse. For conv-only
+  acoustic models (DFCNN / KerasDFCNN) the final tokens are exactly the
+  offline pipeline's (tested); SE variants see per-window squeeze stats
+  instead of whole-utterance ones (documented approximation — the SE
+  global average pool is inherently non-causal).
 
 An actual microphone source is gated behind an optional import so the
 framework stays dependency-free on servers.
@@ -60,6 +70,252 @@ class StreamingRecognizer:
                 acc = 0.0
                 yield self.result()
         yield self.result()
+
+
+class IncrementalRecognizer:
+    """True incremental streaming decode: ``push()`` audio, read
+    ``partial()`` any time; per-push work is proportional to the new audio
+    only (VERDICT r2 #6; reference capability: read_wav.py:14-57).
+
+    Pipeline stages, all stateful across pushes:
+
+    1. **Fbank** — pre-emphasis continues across push boundaries (the last
+       raw sample is carried), frames are emitted once their 400-sample
+       window is fully covered (identical values to offline framing), and
+       mel+log runs in fixed ``frame_group``-sized jitted calls.
+    2. **CMVN** — ``cmvn='running'`` updates per-bin mean/std with each
+       completed frame group and normalizes that group with the updated
+       stats; past groups stay frozen. Grouping depends only on frame
+       count, so results are exactly invariant to how the audio was
+       chunked. ``cmvn='global'`` takes precomputed (mean, std) — with the
+       utterance's own stats this reproduces the offline features bit for
+       bit (used by the parity tests). ``cmvn='none'`` feeds raw log-mel.
+    3. **Encoder** — once ``8 * chunk_logits`` new normalized frames (plus
+       a right halo) exist, one fixed-shape jitted program runs the AM on
+       ``[halo | chunk | halo]`` frames and keeps the chunk's logit rows.
+       With ``halo_frames`` >= the conv stack's receptive field (~54
+       frames for the DFCNN family; default 64) interior positions equal
+       the offline conv exactly; utterance edges are zero-padded exactly
+       like the offline bucketed run.
+    4. **CTC** — greedy collapse with the previous frame's argmax carried,
+       so merges across chunk boundaries match the offline decode.
+
+    ``partial()``/``finalize()`` run the LM on the current pinyin prefix
+    (bounded by the LM position cap — tiny) and return (pinyin, hanzi)
+    like ``Pipeline.recognize_signal``.
+    """
+
+    def __init__(self, pipeline: Pipeline, *, chunk_logits: int = 16,
+                 halo_frames: int = 64, frame_group: int = 128,
+                 cmvn: str = "running",
+                 global_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 max_logits: int = 200):
+        import jax
+        import jax.numpy as jnp
+
+        from asr_dfcnn_transformer_tpu.audio import fbank as fb
+
+        if halo_frames % 8 or chunk_logits <= 0:
+            raise ValueError("halo_frames must be a multiple of 8")
+        if cmvn not in ("running", "global", "none"):
+            raise ValueError(f"unknown cmvn mode {cmvn!r}")
+        if cmvn == "global" and global_stats is None:
+            raise ValueError("cmvn='global' needs global_stats=(mean, std)")
+        self.pipeline = pipeline
+        self.cfg = pipeline.fbank_cfg
+        self.nfilt = self.cfg.nfilt
+        self.chunk_logits = chunk_logits
+        self.halo = halo_frames
+        self.frame_group = frame_group
+        self.cmvn_mode = cmvn
+        self.max_logits = max_logits
+        if global_stats is not None:
+            m, s = global_stats
+            self._gmean = np.asarray(m, np.float32).reshape(1, -1)
+            s = np.asarray(s, np.float32).reshape(1, -1)
+            self._gstd = np.where(s == 0.0, 1.0, s)
+
+        cfg_nopre = fb.FbankConfig(
+            sample_rate=self.cfg.sample_rate, win_len=self.cfg.win_len,
+            hop=self.cfg.hop, nfft=self.cfg.nfft, nfilt=self.cfg.nfilt,
+            preemph=0.0, low_freq=self.cfg.low_freq,
+            high_freq=self.cfg.high_freq, backend="xla")
+
+        @jax.jit
+        def feat_group(pe_samples):
+            # pe_samples: [(G-1)*hop + win] pre-emphasized -> [G, nfilt]
+            return fb.logfbank(pe_samples, cfg_nopre)
+
+        w = 2 * self.halo + 8 * self.chunk_logits
+
+        @jax.jit
+        def am_chunk(window):
+            # window: [W, nfilt] normalized features -> argmax ids [CL]
+            logits = self.pipeline.am_model.apply(
+                self.pipeline.am_variables, window[None, :, :, None],
+                train=False)
+            q0 = self.halo // 8
+            sel = logits[0, q0: q0 + self.chunk_logits]
+            return jnp.argmax(sel, axis=-1).astype(jnp.int32)
+
+        lm_cap = self.pipeline.lm_max_len
+
+        @jax.jit
+        def lm_prefix(ids, n):
+            lm_logits = self.pipeline.lm_model.apply(
+                self.pipeline.lm_variables, ids[None], train=False)
+            han = jnp.argmax(lm_logits[0], axis=-1).astype(jnp.int32)
+            return jnp.where(jnp.arange(ids.shape[0]) < n, han, 0)
+
+        self._feat_group_fn = feat_group
+        self._am_chunk_fn = am_chunk
+        self._lm_prefix_fn = lm_prefix
+        self._lm_cap = lm_cap
+        self._window_frames = w
+        self.reset()
+
+    # -- state ---------------------------------------------------------
+
+    def reset(self):
+        self._pe_tail = np.zeros((0,), np.float32)   # pre-emphasized, unframed
+        self._last_raw: Optional[float] = None
+        self._n_samples = 0
+        self._frames_done = 0                        # completed feature frames
+        self._feats = np.zeros((0, self.nfilt), np.float32)  # normalized
+        self._raw_group = np.zeros((0, self.nfilt), np.float32)
+        self._stat_n = 0
+        self._stat_sum = np.zeros((self.nfilt,), np.float64)
+        self._stat_sq = np.zeros((self.nfilt,), np.float64)
+        self._logits_done = 0
+        self._ids: List[int] = []
+        self._carry_id = -1                          # previous frame's argmax
+
+    # -- internals -----------------------------------------------------
+
+    def _normalize(self, group: np.ndarray) -> np.ndarray:
+        if self.cmvn_mode == "none":
+            return group
+        if self.cmvn_mode == "global":
+            return (group - self._gmean) / self._gstd
+        self._stat_n += group.shape[0]
+        self._stat_sum += group.sum(axis=0)
+        self._stat_sq += (group.astype(np.float64) ** 2).sum(axis=0)
+        mean = self._stat_sum / self._stat_n
+        var = np.maximum(self._stat_sq / self._stat_n - mean * mean, 0.0)
+        std = np.sqrt(var)
+        std = np.where(std == 0.0, 1.0, std)
+        return ((group - mean) / std).astype(np.float32)
+
+    def _emit_frames(self, pe_chunk: np.ndarray, *, final: bool = False):
+        """Run mel+log on fixed-size frame groups; normalize and append."""
+        cfg = self.cfg
+        self._pe_tail = np.concatenate([self._pe_tail, pe_chunk])
+        g = self.frame_group
+        need = (g - 1) * cfg.hop + cfg.win_len
+        while len(self._pe_tail) >= need:
+            feats = np.asarray(self._feat_group_fn(self._pe_tail[:need]))
+            self._raw_group = np.concatenate([self._raw_group, feats])
+            self._pe_tail = self._pe_tail[g * cfg.hop:]
+            self._frames_done += g
+        if final:
+            from asr_dfcnn_transformer_tpu.audio.fbank import num_frames
+            total = num_frames(self._n_samples, cfg)
+            rem = total - self._frames_done
+            if rem > 0:
+                pad = np.zeros((need,), np.float32)
+                pad[: len(self._pe_tail)] = self._pe_tail
+                feats = np.asarray(self._feat_group_fn(pad))[:rem]
+                self._raw_group = np.concatenate([self._raw_group, feats])
+                self._frames_done = total
+            self._pe_tail = np.zeros((0,), np.float32)
+        # normalize in full groups (plus the final remainder)
+        while self._raw_group.shape[0] >= g:
+            self._feats = np.concatenate(
+                [self._feats, self._normalize(self._raw_group[:g])])
+            self._raw_group = self._raw_group[g:]
+        if final and self._raw_group.shape[0]:
+            self._feats = np.concatenate(
+                [self._feats, self._normalize(self._raw_group)])
+            self._raw_group = np.zeros((0, self.nfilt), np.float32)
+
+    def _window(self, start_frame: int) -> np.ndarray:
+        w = self._window_frames
+        out = np.zeros((w, self.nfilt), np.float32)
+        lo = max(start_frame, 0)
+        hi = min(start_frame + w, self._feats.shape[0])
+        if hi > lo:
+            out[lo - start_frame: hi - start_frame] = self._feats[lo:hi]
+        return out
+
+    def _decode_ready(self, *, final: bool = False):
+        cl = self.chunk_logits
+        if final:
+            total = min(self._frames_done // 8 + 1, self.max_logits)
+        while True:
+            next_end = self._logits_done + cl
+            have = self._feats.shape[0]
+            if not final:
+                if 8 * next_end + self.halo > have:
+                    break
+                n_new = cl
+            else:
+                n_new = min(cl, total - self._logits_done)
+                if n_new <= 0:
+                    break
+            ids = np.asarray(self._am_chunk_fn(
+                self._window(8 * self._logits_done - self.halo)))[:n_new]
+            self._logits_done += n_new
+            # blank = vocab - 1 (reference convention, acoustic_model.py:76)
+            blank = self.pipeline.am_model.vocab_size - 1
+            for v in ids:
+                v = int(v)
+                if v != self._carry_id and v != blank \
+                        and len(self._ids) < self._lm_cap:
+                    self._ids.append(v)
+                self._carry_id = v
+
+    # -- public API ----------------------------------------------------
+
+    def push(self, chunk: np.ndarray):
+        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        if chunk.size == 0:
+            return
+        if self._last_raw is None:
+            pe = np.concatenate(
+                [chunk[:1],
+                 chunk[1:] - self.cfg.preemph * chunk[:-1]])
+        else:
+            pe = chunk - self.cfg.preemph * np.concatenate(
+                [[self._last_raw], chunk[:-1]])
+        self._last_raw = float(chunk[-1])
+        self._n_samples += chunk.size
+        self._emit_frames(pe.astype(np.float32))
+        self._decode_ready()
+
+    @property
+    def pinyin_ids(self) -> List[int]:
+        return list(self._ids)
+
+    def _lm_decode(self) -> str:
+        if self.pipeline.lm_model is None or not self._ids \
+                or self.pipeline.lv is None:
+            return ""
+        cap = self._lm_cap
+        ids = np.zeros((cap,), np.int32)
+        n = min(len(self._ids), cap)
+        ids[:n] = self._ids[:n]
+        han = np.asarray(self._lm_prefix_fn(ids, n))[:n]
+        return "".join(self.pipeline.lv.decode(list(han)))
+
+    def partial(self) -> Tuple[List[str], str]:
+        """Current hypothesis; costs one LM pass over the prefix."""
+        return self.pipeline.av.decode(self._ids), self._lm_decode()
+
+    def finalize(self) -> Tuple[List[str], str]:
+        """Flush tail frames/logits and return the final hypothesis."""
+        self._emit_frames(np.zeros((0,), np.float32), final=True)
+        self._decode_ready(final=True)
+        return self.partial()
 
 
 def microphone_chunks(seconds: float = 16.0, sample_rate: int = 16000,

@@ -559,6 +559,118 @@ def load_tf1_sedfcnn(prefix_or_tensors, vocab_size: int):
     return {"params": params, "batch_stats": batch_stats}
 
 
+def load_tf1_lm(prefix_or_tensors, input_vocab_size: int,
+                output_vocab_size: int, num_blocks: int = 12):
+    """Map a TF1 ``language_model`` checkpoint (``logs_lm/checkpoint``,
+    language_model.py:26-56 graph) onto ``models.TransformerLM`` variables.
+
+    TF1 variable names (creation order in the reference graph):
+    - ``enc_embed/lookup_table`` / ``enc_pe/lookup_table`` — token and
+      learned position embeddings (transformer.py:42-46).
+    - per block ``num_blocks_{i}/multihead_attention/dense[_1/_2/_3]/kernel``
+      — the ReLU'd bias-free Q/K/V/out projections (transformer.py:139-153);
+      ``.../ln/Variable`` (beta) and ``.../ln/Variable_1`` (gamma) — the
+      unnamed ``tf.Variable``s of layer_norm, beta created first
+      (transformer.py:22-24).
+    - per block ``num_blocks_{i}/positionwise_ffnn/conv1d[_1]/{kernel,bias}``
+      — 1x1 conv FFN; kernels are [1, C, F], squeezed to Dense [C, F]
+      (transformer.py:216-224) — plus its own ``ln`` pair.
+    - ``dense/{kernel,bias}`` — the root-scope output projection
+      (language_model.py:54).
+
+    Only the single-stack ``language_model`` layout is supported:
+    ``language_model2``'s second block group reuses the dense scopes via
+    AUTO_REUSE but creates fresh (scope-uniquified) layer-norm variables,
+    so its checkpoints are not a well-defined target (PARITY.md).
+
+    Requires ``TransformerLM(parity_attention=True)`` (the default) — the
+    TF1 graph has no Q/K/V/out biases to import.
+    """
+    t = (read_tf_checkpoint(prefix_or_tensors)
+         if isinstance(prefix_or_tensors, str) else dict(prefix_or_tensors))
+    emb = np.asarray(t["enc_embed/lookup_table"])
+    if emb.shape[0] != input_vocab_size:
+        raise ValueError(
+            f"checkpoint input vocab {emb.shape[0]} != {input_vocab_size}")
+    out_k = np.asarray(t["dense/kernel"])
+    if out_k.shape[1] != output_vocab_size:
+        raise ValueError(
+            f"checkpoint output vocab {out_k.shape[1]} != "
+            f"{output_vocab_size}")
+    params: Dict = {
+        "token_embed": {"embedding": emb},
+        "pos_embed": {"embedding": t["enc_pe/lookup_table"]},
+        "output": {"kernel": out_k, "bias": t["dense/bias"]},
+    }
+    for i in range(num_blocks):
+        mha = f"num_blocks_{i}/multihead_attention"
+        ffn = f"num_blocks_{i}/positionwise_ffnn"
+        params[f"block0_{i}_attn"] = {
+            "q": {"kernel": t[f"{mha}/dense/kernel"]},
+            "k": {"kernel": t[f"{mha}/dense_1/kernel"]},
+            "v": {"kernel": t[f"{mha}/dense_2/kernel"]},
+            "out": {"kernel": t[f"{mha}/dense_3/kernel"]},
+            "LayerNorm_0": {"scale": t[f"{mha}/ln/Variable_1"],
+                            "bias": t[f"{mha}/ln/Variable"]},
+        }
+        params[f"block0_{i}_ffn"] = {
+            "Dense_0": {
+                "kernel": np.asarray(t[f"{ffn}/conv1d/kernel"])[0],
+                "bias": t[f"{ffn}/conv1d/bias"]},
+            "Dense_1": {
+                "kernel": np.asarray(t[f"{ffn}/conv1d_1/kernel"])[0],
+                "bias": t[f"{ffn}/conv1d_1/bias"]},
+            "LayerNorm_0": {"scale": t[f"{ffn}/ln/Variable_1"],
+                            "bias": t[f"{ffn}/ln/Variable"]},
+        }
+    return {"params": params}
+
+
+def export_tf1_lm(variables, num_blocks: int = 12) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`load_tf1_lm`: flatten ``models.TransformerLM``
+    variables (single stack, parity attention) to the TF1 names the
+    reference's LM Saver writes (train.py:148), including a zero
+    ``global_step``."""
+    p = variables["params"]
+    t: Dict[str, np.ndarray] = {
+        "enc_embed/lookup_table": np.asarray(
+            p["token_embed"]["embedding"]),
+        "enc_pe/lookup_table": np.asarray(p["pos_embed"]["embedding"]),
+        "dense/kernel": np.asarray(p["output"]["kernel"]),
+        "dense/bias": np.asarray(p["output"]["bias"]),
+        "global_step": np.array(0, np.int32),
+    }
+    for i in range(num_blocks):
+        attn = p[f"block0_{i}_attn"]
+        if "bias" in attn["q"]:
+            raise ValueError(
+                "TF1 export requires parity_attention=True (bias-free "
+                "Q/K/V/out) — the TF1 graph has no attention biases")
+        ffn = p[f"block0_{i}_ffn"]
+        mha = f"num_blocks_{i}/multihead_attention"
+        pwf = f"num_blocks_{i}/positionwise_ffnn"
+        for proj, tf_d in (("q", "dense"), ("k", "dense_1"),
+                           ("v", "dense_2"), ("out", "dense_3")):
+            t[f"{mha}/{tf_d}/kernel"] = np.asarray(attn[proj]["kernel"])
+        t[f"{mha}/ln/Variable"] = np.asarray(attn["LayerNorm_0"]["bias"])
+        t[f"{mha}/ln/Variable_1"] = np.asarray(attn["LayerNorm_0"]["scale"])
+        for j, tf_c in ((0, "conv1d"), (1, "conv1d_1")):
+            t[f"{pwf}/{tf_c}/kernel"] = np.asarray(
+                ffn[f"Dense_{j}"]["kernel"])[None, :, :]
+            t[f"{pwf}/{tf_c}/bias"] = np.asarray(ffn[f"Dense_{j}"]["bias"])
+        t[f"{pwf}/ln/Variable"] = np.asarray(ffn["LayerNorm_0"]["bias"])
+        t[f"{pwf}/ln/Variable_1"] = np.asarray(ffn["LayerNorm_0"]["scale"])
+    if f"block0_{num_blocks}_attn" in p:
+        raise ValueError(
+            f"variables have more than num_blocks={num_blocks} blocks "
+            f"(pass the model's num_blocks)")
+    if "block1_0_attn" in p:
+        raise ValueError(
+            "two_stack TransformerLM cannot be exported to the TF1 layout "
+            "(language_model2's scope reuse is ambiguous — PARITY.md)")
+    return t
+
+
 def export_tf1_sedfcnn(variables) -> Dict[str, np.ndarray]:
     """Inverse of :func:`load_tf1_sedfcnn`: flatten ``models.SEDFCNN``
     variables to the TF1 variable names the reference's Saver would write,

@@ -94,6 +94,28 @@ def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
 
 def shard_batch(mesh: Mesh, batch):
     """Device-put every array in a batch pytree with the leading axis over
-    the data mesh axis."""
+    the data mesh axis.
+
+    Multi-process (``jax.distributed``): every process feeds the same
+    full global batch (the loaders are deterministic given the seed); each
+    process carves out its own addressable rows and the result is one
+    global jax.Array — the multi-host analog of the single-process
+    ``device_put``. Assumes the mesh data axis follows ``jax.devices()``
+    process ordering (what :func:`make_mesh` builds).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        nproc, pid = jax.process_count(), jax.process_index()
+
+        def put(x):
+            x = np.asarray(x)
+            if x.shape[0] % nproc:
+                raise ValueError(
+                    f"global batch {x.shape[0]} must divide process "
+                    f"count {nproc}")
+            per = x.shape[0] // nproc
+            local = x[pid * per: (pid + 1) * per]
+            return jax.make_array_from_process_local_data(sh, local, x.shape)
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

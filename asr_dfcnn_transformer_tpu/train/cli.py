@@ -91,14 +91,22 @@ def _build_parser():
         if name == "eval":
             sp.add_argument("--am-hdf5", default=None,
                             help="load the acoustic model from a Keras "
-                                 ".hdf5 weight file (cnn_ctc layout, e.g. "
-                                 "the reference's model_05.7.64.hdf5) "
-                                 "instead of an orbax checkpoint")
+                                 ".hdf5 weight file instead of an orbax "
+                                 "checkpoint (cnn_ctc layout, e.g. the "
+                                 "reference's model_05.7.64.hdf5 — or the "
+                                 "cnn_rnn_ctc layout with --model bigru)")
             sp.add_argument("--am-tf-ckpt", default=None,
                             help="load the SE-DFCNN acoustic model from a "
                                  "TF1 tensor_bundle checkpoint prefix (the "
                                  "reference's graph-mode Saver files, "
                                  "train.py:38) instead of an orbax "
+                                 "checkpoint")
+        if name in ("eval", "eval-lm"):
+            sp.add_argument("--lm-tf-ckpt", default=None,
+                            help="load the Transformer LM from a TF1 "
+                                 "tensor_bundle checkpoint prefix (the "
+                                 "reference's logs_lm Saver files, "
+                                 "train.py:148) instead of an orbax "
                                  "checkpoint")
 
     sp = sub.add_parser("infer")
@@ -117,8 +125,15 @@ def _build_parser():
                     help="output path (tf1: checkpoint prefix; "
                          "hdf5: .hdf5 file)")
     sp.add_argument("--format", default="tf1", choices=["tf1", "hdf5"],
-                    help="tf1 = tensor_bundle (Saver) files for SE-DFCNN; "
-                         "hdf5 = Keras cnn_ctc weights (keras_dfcnn only)")
+                    help="tf1 = tensor_bundle (Saver) files for SE-DFCNN "
+                         "(--what am) or the Transformer LM (--what lm); "
+                         "hdf5 = Keras cnn_ctc weights (keras_dfcnn only) "
+                         "or cnn_rnn_ctc weights (--what bigru)")
+    sp.add_argument("--what", default="am", choices=["am", "lm", "bigru"],
+                    help="which trained model to export: the acoustic "
+                         "model (am, default), the language model (lm, "
+                         "tf1 only), or a keras_parity BiGRU AM (bigru, "
+                         "hdf5 only)")
     sp.add_argument("--use-latest", action="store_true",
                     help="export the latest checkpoint instead of the "
                          "metric-gated best")
@@ -335,12 +350,14 @@ def cmd_e2e(args):
         model = SpeechTransformer(ev.size)
     tr = E2ETrainer(model, args.workdir, lr=args.lr or 3e-4,
                     feature_dim=80 if not args.small else 40)
+    dev_dl = loader("dev", False)
     first = next(train_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(
         jax.random.PRNGKey(args.seed), first))
     out = tr.fit(lambda: prefetch(train_dl.am_batches(bsz, seed=args.seed)),
                  epochs=args.epochs or 10,
-                 rng=jax.random.PRNGKey(args.seed))
+                 rng=jax.random.PRNGKey(args.seed),
+                 dev_batches=lambda: dev_dl.am_batches(bsz, shuffle=False))
     print("e2e training done:", out)
 
 
@@ -478,7 +495,7 @@ def cmd_eval_e2e(args):
 
 def cmd_eval_lm(args):
     """LM-only eval on ground-truth pinyin (test_lm.py capability)."""
-    pipe, test_dl, bsz = _load_pipeline(args)
+    pipe, test_dl, bsz = _load_pipeline(args, need_am=False)
     res = pipe.evaluate_lm(
         test_dl.lm_batches(bsz, shuffle=False),
         pred_log_path=os.path.join(args.workdir, "pred", "pred_lm_log"))
@@ -497,7 +514,7 @@ def _require_ckpt(trainer, what: str, workdir: str) -> None:
             f"Train first{hint}.")
 
 
-def _load_pipeline(args, decode="greedy", beam_width=8):
+def _load_pipeline(args, decode="greedy", beam_width=8, need_am=True):
     from asr_dfcnn_transformer_tpu.infer import Pipeline
     from asr_dfcnn_transformer_tpu.train import AMTrainer, LMTrainer
     bsz = args.batch_size or 16
@@ -505,19 +522,36 @@ def _load_pipeline(args, decode="greedy", beam_width=8):
     loader, av, lv = _data(args, bsz, bounds)
     test_dl = loader("test", False)
     lm = _lm_model(av.size, lv.size, args.small)
-    lmt = LMTrainer(lm, args.workdir)
-    _require_ckpt(lmt, "LM", args.workdir)
-    lm_first = next(test_dl.lm_batches(bsz, shuffle=False))
-    lm_state = lmt.restore_or_init(lambda: lmt.init_state(
-        jax.random.PRNGKey(1), lm_first))
+    if getattr(args, "lm_tf_ckpt", None):
+        from asr_dfcnn_transformer_tpu.infer.tf_ckpt import load_tf1_lm
+        lm_vars = jax.tree.map(jnp.asarray, load_tf1_lm(
+            args.lm_tf_ckpt, av.size, lv.size, num_blocks=lm.num_blocks))
+    else:
+        lmt = LMTrainer(lm, args.workdir)
+        _require_ckpt(lmt, "LM", args.workdir)
+        lm_first = next(test_dl.lm_batches(bsz, shuffle=False))
+        lm_state = lmt.restore_or_init(lambda: lmt.init_state(
+            jax.random.PRNGKey(1), lm_first))
+        lm_vars = {"params": lm_state.params}
 
     if getattr(args, "am_hdf5", None):
         from asr_dfcnn_transformer_tpu import models
-        from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
-            load_keras_dfcnn_hdf5)
-        am = models.KerasDFCNN(vocab_size=av.size)
-        am_vars = jax.tree.map(jnp.asarray,
-                               load_keras_dfcnn_hdf5(args.am_hdf5, av.size))
+        if getattr(args, "model", "se_dfcnn") == "bigru":
+            import numpy as np
+            from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
+                load_keras_bigru_hdf5)
+            raw_v = load_keras_bigru_hdf5(args.am_hdf5, av.size)
+            hidden = np.asarray(
+                raw_v["params"]["gru_fwd_0"]["kernel"]).shape[1] // 3
+            am = models.BiGRUCTC(vocab_size=av.size, hidden=hidden,
+                                 keras_parity=True)
+            am_vars = jax.tree.map(jnp.asarray, raw_v)
+        else:
+            from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
+                load_keras_dfcnn_hdf5)
+            am = models.KerasDFCNN(vocab_size=av.size)
+            am_vars = jax.tree.map(
+                jnp.asarray, load_keras_dfcnn_hdf5(args.am_hdf5, av.size))
     elif getattr(args, "am_tf_ckpt", None):
         from asr_dfcnn_transformer_tpu import models
         from asr_dfcnn_transformer_tpu.infer.tf_ckpt import load_tf1_sedfcnn
@@ -528,14 +562,21 @@ def _load_pipeline(args, decode="greedy", beam_width=8):
         am = _am_model(getattr(args, "model", "se_dfcnn"), av.size,
                        args.small)
         amt = AMTrainer(am, args.workdir)
-        _require_ckpt(amt, "AM", args.workdir)
-        first = next(test_dl.am_batches(bsz, shuffle=False))
-        am_state = amt.restore_or_init(lambda: amt.init_state(
-            jax.random.PRNGKey(0), first))
-        am_vars = {"params": am_state.params,
-                   "batch_stats": am_state.batch_stats}
+        if need_am or amt.ckpt.latest_step() is not None:
+            _require_ckpt(amt, "AM", args.workdir)
+            first = next(test_dl.am_batches(bsz, shuffle=False))
+            am_state = amt.restore_or_init(lambda: amt.init_state(
+                jax.random.PRNGKey(0), first))
+            am_vars = {"params": am_state.params,
+                       "batch_stats": am_state.batch_stats}
+        else:
+            # LM-only eval: the AM is never applied — random init stands in
+            import numpy as np
+            am_vars = am.init(jax.random.PRNGKey(0),
+                              np.zeros((1, 32, 200, 1), np.float32),
+                              train=False)
     pipe = Pipeline(
-        am, am_vars, lm, {"params": lm_state.params},
+        am, am_vars, lm, lm_vars,
         acoustic_vocab=av, language_vocab=lv, decode=decode,
         beam_width=beam_width)
     return pipe, test_dl, bsz
@@ -564,18 +605,46 @@ def cmd_infer(args):
 
 
 def cmd_export(args):
-    """Hand a trained AM back to the reference stack: TF1 tensor_bundle
-    (Saver format, train.py:38) or Keras cnn_ctc .hdf5 (cnn_ctc.py:85)."""
+    """Hand a trained model back to the reference stack: TF1 tensor_bundle
+    (AM Saver train.py:38 / LM Saver train.py:148) or Keras .hdf5
+    (cnn_ctc.py:85 / cnn_rnn_ctc layout)."""
     import numpy as np
 
     from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline
-    raw = Pipeline._restore_raw(args.workdir, "am",
+    ckpt_name = "lm" if args.what == "lm" else "am"
+    raw = Pipeline._restore_raw(args.workdir, ckpt_name,
                                 use_best=not args.use_latest)
     if raw is None:
-        raise SystemExit(f"error: no AM checkpoint under {args.workdir!r}")
-    variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+        raise SystemExit(
+            f"error: no {ckpt_name.upper()} checkpoint under "
+            f"{args.workdir!r}")
+    variables = {"params": raw["params"]}
+    if raw.get("batch_stats"):
+        variables["batch_stats"] = raw["batch_stats"]
     try:
-        if args.format == "tf1":
+        if args.what == "lm":
+            if args.format != "tf1":
+                raise SystemExit(
+                    "error: the LM has no Keras layout; use --format tf1")
+            from asr_dfcnn_transformer_tpu.infer.tf_ckpt import (
+                export_tf1_lm, write_tf_checkpoint)
+            nb = sum(k.startswith("block0_") and k.endswith("_attn")
+                     for k in variables["params"])
+            write_tf_checkpoint(args.out,
+                                export_tf1_lm(variables, num_blocks=nb))
+        elif args.what == "bigru":
+            if args.format != "hdf5":
+                raise SystemExit(
+                    "error: the BiGRU maps to the Keras cnn_rnn_ctc "
+                    "layout; use --format hdf5")
+            from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
+                save_keras_bigru_hdf5)
+            p = variables["params"]
+            save_keras_bigru_hdf5(
+                args.out, variables,
+                vocab_size=np.asarray(p["Dense_3"]["kernel"]).shape[1],
+                hidden=np.asarray(p["gru_fwd_0"]["kernel"]).shape[1] // 3)
+        elif args.format == "tf1":
             from asr_dfcnn_transformer_tpu.infer.tf_ckpt import (
                 export_tf1_sedfcnn, write_tf_checkpoint)
             write_tf_checkpoint(args.out, export_tf1_sedfcnn(variables))
@@ -589,10 +658,10 @@ def cmd_export(args):
                 dense_units=np.asarray(p["Dense_0"]["kernel"]).shape[1])
     except KeyError as e:
         raise SystemExit(
-            f"error: checkpoint layout does not match the {args.format} "
-            f"export mapping (tf1 = se_dfcnn family, hdf5 = keras_dfcnn); "
-            f"missing {e}")
-    print(f"exported {args.format} -> {args.out}")
+            f"error: checkpoint layout does not match the {args.what}/"
+            f"{args.format} export mapping (tf1 = se_dfcnn family or lm, "
+            f"hdf5 = keras_dfcnn or keras_parity bigru); missing {e}")
+    print(f"exported {args.what} {args.format} -> {args.out}")
 
 
 def main(argv=None):

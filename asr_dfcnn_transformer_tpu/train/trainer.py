@@ -689,6 +689,7 @@ class E2ETrainer(_TrainerBase):
         self.fbank_cfg = FbankConfig(nfilt=feature_dim)
         self.lfr_m, self.lfr_n = lfr_m, lfr_n
         self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
 
     def _features(self, signals, signal_lengths, bucket_frames):
         feats, valid = batched_fbank(signals, signal_lengths,
@@ -762,18 +763,52 @@ class E2ETrainer(_TrainerBase):
                                                batch.bucket_frames)
         return metrics
 
+    def _build_eval_step(self):
+        @functools.partial(jax.jit, static_argnames=("bucket_frames",))
+        def step(state: TrainState, signals, signal_lengths, dec_in,
+                 targets, bucket_frames):
+            feats, valid = self._features(signals, signal_lengths,
+                                          bucket_frames)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits = self.model.apply(variables, feats, valid, dec_in,
+                                      train=False)
+            loss, acc = e2e_loss(logits, targets)
+            return {"loss": loss, "acc": acc,
+                    "weight": jnp.sum(targets != constants.IGNORE_ID)}
+
+        return step
+
+    def eval_step(self, batch: AMBatch) -> Dict[str, float]:
+        """Teacher-forced dev metrics; weight-0 backfill rows are masked
+        to IGNORE so they drop out of the token-normalized loss/acc."""
+        dec_in, targets = self.make_decoder_io(batch.hanzi,
+                                               batch.hanzi_lengths)
+        targets[np.asarray(batch.weights) == 0] = constants.IGNORE_ID
+        b = shard_batch(self.mesh, (batch.signals, batch.signal_lengths,
+                                    dec_in, targets))
+        return self._eval_step(self.state, *b, batch.bucket_frames)
+
     def _epoch_marker_path(self) -> str:
         return os.path.join(self.workdir, "e2e_epochs_completed.json")
 
     def fit(self, train_batches, epochs: int, rng=None,
-            log_every: int = 10, ckpt_every: int = 1000) -> Dict[str, float]:
+            log_every: int = 10, ckpt_every: int = 1000,
+            dev_batches=None) -> Dict[str, float]:
         """Step-based loop with periodic checkpoints
         (end2end/model.py:101-126). Unlike the epoch-saving trainers,
         checkpoints here are step-numbered, so resume reads an epoch
         marker written at each epoch boundary (reference resumes from
-        latest ckpt, train.py:45-50)."""
+        latest ckpt, train.py:45-50).
+
+        ``dev_batches`` adds a per-epoch teacher-forced dev sweep with an
+        acc-gated best save — the reference's ``eval()`` is an empty stub
+        (end2end/model.py:130-132); this completes it in line with the
+        other trainers."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         last = {}
+        best_acc = -1.0
         start_epoch = 0
         if self.ckpt.latest_step() is not None and \
                 os.path.exists(self._epoch_marker_path()):
@@ -785,11 +820,24 @@ class E2ETrainer(_TrainerBase):
                 m = self.train_step(batch, sub)
                 step = int(self.state.step)
                 if i % log_every == 0:
+                    self.nan_guard(float(m["loss"]))
                     self.metrics.write(step, epoch=epoch, split="train", **m)
                 if step % ckpt_every == 0:
                     self.save(step)
                 last = {"epoch": epoch, "loss": float(m["loss"]),
                         "acc": float(m["acc"])}
+            if dev_batches is not None:
+                evals = [self.eval_step(b) for b in dev_batches()]
+                acc = _dev_mean(evals, "acc")
+                loss = _dev_mean(evals, "loss")
+                self.metrics.write(int(self.state.step), epoch=epoch,
+                                   split="dev", loss=loss, acc=acc)
+                print(f"[e2e] epoch {epoch}: dev_loss {loss:.3f} "
+                      f"dev_acc {acc:.3f}", flush=True)
+                last.update(dev_loss=loss, dev_acc=acc)
+                if evals and acc > best_acc:
+                    best_acc = acc
+                    self.save_best()
             self.save(int(self.state.step))
             with open(self._epoch_marker_path(), "w") as f:
                 json.dump({"epochs_completed": epoch + 1}, f)

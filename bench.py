@@ -62,15 +62,81 @@ def _signals(batch, seed=None):
             jax.device_put(np.full((batch,), N_SAMPLES, np.int32)))
 
 
+# Published per-chip peaks for the MFU/roofline columns, keyed by
+# device_kind substring: (dense bf16 TFLOP/s, HBM GB/s).
+_PEAKS = {
+    "v5 lite": (197.0, 819.0), "v5e": (197.0, 819.0),
+    "v6 lite": (918.0, 1640.0), "v6e": (918.0, 1640.0),
+    "v5p": (459.0, 2765.0), "v5": (459.0, 2765.0), "v4": (275.0, 1228.0),
+}
+
+
+def _peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in _PEAKS.items():
+        if k in kind:
+            return v
+    return (None, None)
+
+
+def _cost(compiled):
+    """XLA cost analysis as a plain dict ({} when unavailable)."""
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else {}
+        return dict(c) if c else {}
+    except Exception:
+        return {}
+
+
+def _cost_delta(clo, chi, iters):
+    """Per-iteration flops / bytes by the same slope trick as the timing:
+    (hi-trip cost - lo-trip cost) / extra trips, so one-time setup work in
+    the program cancels exactly like the fixed request cost does."""
+    out = {}
+    for key, name in (("flops", "flops"), ("bytes accessed", "bytes")):
+        a, b = clo.get(key), chi.get(key)
+        if a is not None and b is not None and b >= a:
+            out[name] = (b - a) / iters
+    return out
+
+
+def _roofline(dt, cost):
+    """MFU / bandwidth / bound verdict for one config (VERDICT r2 #3):
+    achieved TFLOP/s and HBM GB/s from XLA's own per-program counts, MFU
+    vs the chip's published bf16 peak, and which roof the program sits
+    under (``roof_ms`` = the speed-of-light time for its flop/byte mix)."""
+    out = {}
+    fl, by = cost.get("flops"), cost.get("bytes")
+    peak, bw = _peaks()
+    if fl:
+        out["gflops_per_iter"] = round(fl / 1e9, 2)
+        out["achieved_tflops"] = round(fl / dt / 1e12, 2)
+        if peak:
+            out["mfu_pct"] = round(100.0 * fl / dt / 1e12 / peak, 1)
+    if by:
+        out["hbm_gbps"] = round(by / dt / 1e9, 1)
+    if fl and by and peak and bw:
+        t_compute = fl / (peak * 1e12)
+        t_hbm = by / (bw * 1e9)
+        out["bound"] = "compute" if t_compute >= t_hbm else "hbm"
+        out["roof_ms"] = round(1000.0 * max(t_compute, t_hbm), 3)
+        out["pct_of_roof"] = round(100.0 * max(t_compute, t_hbm) / dt, 1)
+    return out
+
+
 def _scan_time(body, x, iters=100):
-    """Seconds/iteration of ``body(x + carry, i)`` by slope timing: two
-    jitted scans (_LO and _LO+iters trips); the difference cancels the
-    backend's fixed per-request cost. Each executable is warmed up ONCE
-    on a perturbed copy of the input (compilation on the tunneled backend
-    is asynchronous — the first execution absorbs the compile wait), then
-    timed ONCE on the real input: warmup and timed requests differ in
-    argument bytes, so per-request result caching can never serve a timed
-    call (see module docstring)."""
+    """(seconds/iteration, roofline dict) of ``body(x + carry, i)`` by
+    slope timing: two jitted scans (_LO and _LO+iters trips); the
+    difference cancels the backend's fixed per-request cost. Each
+    executable is warmed up ONCE on a perturbed copy of the input
+    (compilation on the tunneled backend is asynchronous — the first
+    execution absorbs the compile wait), then timed ONCE on the real
+    input: warmup and timed requests differ in argument bytes, so
+    per-request result caching can never serve a timed call (see module
+    docstring)."""
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +164,8 @@ def _scan_time(body, x, iters=100):
     t1 = time.perf_counter()
     float(fhi(x))
     t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / iters
+    dt = ((t2 - t1) - (t1 - t0)) / iters
+    return dt, _roofline(dt, _cost_delta(_cost(flo), _cost(fhi), iters))
 
 
 class _Models:
@@ -169,12 +236,12 @@ def bench_am_lm(m, batch, am=None, am_vars=None, decode="greedy",
                        noise=noise)
     sig, lens = _signals(batch)
     key = jax.random.PRNGKey(_SALT)
-    dt = _scan_time(
+    dt, roof = _scan_time(
         lambda z, i: fwd(z, lens, jax.random.fold_in(key, i)), sig,
         iters=iters)
     return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
-            "rtfx": round(UTT_SECONDS * batch / dt, 1)}
+            "rtfx": round(UTT_SECONDS * batch / dt, 1), **roof}
 
 
 def bench_single_utt(m):
@@ -195,9 +262,9 @@ def bench_single_utt(m):
                                  max_output_len=64)
 
     sig, lens = _signals(1)
-    dt = _scan_time(lambda z, i: forward(z, lens), sig, iters=400)
+    dt, roof = _scan_time(lambda z, i: forward(z, lens), sig, iters=400)
     return {"latency_ms": round(1000 * dt, 2),
-            "rtfx": round(UTT_SECONDS / dt, 1)}
+            "rtfx": round(UTT_SECONDS / dt, 1), **roof}
 
 
 def bench_lm_only(m, batch=128, seq_len=64):
@@ -211,15 +278,15 @@ def bench_lm_only(m, batch=128, seq_len=64):
     rs = np.random.default_rng(_SALT)
     ids = jax.device_put(
         rs.integers(3, ACOUSTIC_VOCAB - 1, (batch, seq_len)).astype(np.int32))
-    dt = _scan_time(lambda z, i: forward(z), ids, iters=400)
+    dt, roof = _scan_time(lambda z, i: forward(z), ids, iters=400)
     return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
-            "utts_per_sec": round(batch / dt, 2)}
+            "utts_per_sec": round(batch / dt, 2), **roof}
 
 
 def _train_scan_time(step_fn, state, steps):
     """Slope timing for a training step: two AOT-compiled scans of the
     step (_LO and _LO+steps trips) from the same initial state, each run
-    once cold (same defenses as _scan_time)."""
+    once cold (same defenses as _scan_time). Returns (dt, roofline)."""
     import jax
     import jax.numpy as jnp
 
@@ -241,7 +308,8 @@ def _train_scan_time(step_fn, state, steps):
     t1 = time.perf_counter()
     np.asarray(mhi(state, khi))
     t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / steps
+    dt = ((t2 - t1) - (t1 - t0)) / steps
+    return dt, _roofline(dt, _cost_delta(_cost(mlo), _cost(mhi), steps))
 
 
 def bench_train(m, fast=False, batch=64, steps=40):
@@ -274,10 +342,11 @@ def bench_train(m, fast=False, batch=64, steps=40):
         st, metrics = tr._train_step(st, *dev, key, ab.bucket_frames)
         return st, metrics["loss"]
 
-    dt = _train_scan_time(step_fn, tr.state, steps)
+    dt, roof = _train_scan_time(step_fn, tr.state, steps)
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
-            "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1)}
+            "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1),
+            **roof}
 
 
 def bench_train_lm(m, batch=64, seq_len=64, steps=100):
@@ -304,9 +373,9 @@ def bench_train_lm(m, batch=64, seq_len=64, steps=100):
         st, metrics = tr._train_step(st, *dev, key)
         return st, metrics["loss"]
 
-    dt = _train_scan_time(step_fn, tr.state, steps)
+    dt, roof = _train_scan_time(step_fn, tr.state, steps)
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
-            "utts_per_sec": round(batch / dt, 2)}
+            "utts_per_sec": round(batch / dt, 2), **roof}
 
 
 def bench_train_e2e(m, batch=8, steps=60):
@@ -342,10 +411,11 @@ def bench_train_e2e(m, batch=8, steps=60):
         st, metrics = tr._train_step(st, *dev, key, ab.bucket_frames)
         return st, metrics["loss"]
 
-    dt = _train_scan_time(step_fn, tr.state, steps)
+    dt, roof = _train_scan_time(step_fn, tr.state, steps)
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
-            "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1)}
+            "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1),
+            **roof}
 
 
 def main():
@@ -377,15 +447,17 @@ def main():
         a = jax.device_put(
             np.random.default_rng(_SALT).standard_normal(
                 (8192, 8192)).astype(np.float32)).astype(jnp.bfloat16)
-        t_mm = _scan_time(lambda x, i: x @ x, a, iters=200)
+        t_mm, r_mm = _scan_time(lambda x, i: x @ x, a, iters=200)
         big = jax.device_put(np.ones((19_660_800,), np.float32))
-        t_cp = _scan_time(lambda x, i: x + 1.0, big, iters=200)
-        t_nop = _scan_time(lambda x, i: x, jnp.zeros((8, 128)), iters=400)
+        t_cp, r_cp = _scan_time(lambda x, i: x + 1.0, big, iters=200)
+        t_nop, _ = _scan_time(lambda x, i: x, jnp.zeros((8, 128)), iters=400)
         print(json.dumps({
             "matmul_8k3_bf16_ms": round(1e3 * t_mm, 3),
             "matmul_tflops": round(2 * 8192**3 / t_mm / 1e12, 1),
+            "matmul_mfu_pct": r_mm.get("mfu_pct"),
             "copy_78MB_ms": round(1e3 * t_cp, 3),
             "copy_GBps": round(2 * 78.6e-3 / t_cp, 1),
+            "copy_hbm_gbps_xla": r_cp.get("hbm_gbps"),
             "noop_us": round(1e6 * t_nop, 2),
         }, ), flush=True)
         return

@@ -236,6 +236,40 @@ def test_cli_export_tf1(workdir):
                                       err_msg=str(k))
 
 
+def test_cli_export_and_eval_lm_tf1(tmp_path, capsys):
+    """Round trip the LM through the reference's TF1 Saver format:
+    train -> export --what lm -> eval-lm --lm-tf-ckpt (in a workdir with
+    no AM checkpoint — LM-only eval must not require one)."""
+    wd = str(tmp_path / "lmwd")
+    cli.main(["lm", "--workdir", wd, "--synthetic", "16", "--small",
+              "--epochs", "1", "--batch-size", "8", "--lr", "1e-3"])
+    prefix = os.path.join(wd, "export", "lm_model.ckpt")
+    cli.main(["export", "--workdir", wd, "--what", "lm", "--format", "tf1",
+              "--out", prefix, "--platform", "cpu"])
+    assert os.path.exists(prefix + ".index")
+    capsys.readouterr()
+    cli.main(["eval-lm", "--workdir", wd, "--synthetic", "16", "--small",
+              "--batch-size", "8", "--lm-tf-ckpt", prefix])
+    out = capsys.readouterr().out
+    assert "汉字 word accuracy ratio" in out
+
+
+def test_cli_eval_with_bigru_hdf5(workdir):
+    """eval --model bigru --am-hdf5: cnn_rnn_ctc-layout Keras weights load
+    into the keras_parity BiGRU (depends on test_cli_lm_train's LM)."""
+    from asr_dfcnn_transformer_tpu.core import vocab
+    from tests.test_hdf5_import import _write_fake_bigru
+
+    path = os.path.join(workdir, "bigru_fake.hdf5")
+    # full feature dim (200) and the bundled acoustic vocab; tiny hidden —
+    # the CLI must infer the width from the file, not assume 512
+    _write_fake_bigru(path, vocab=vocab.acoustic_vocab().size, hidden=8,
+                      feat=200)
+    cli.main(["eval", "--workdir", workdir, "--synthetic", "16", "--small",
+              "--batch-size", "8", "--model", "bigru", "--am-hdf5", path])
+    assert os.path.exists(os.path.join(workdir, "pred", "pred_log"))
+
+
 def test_cli_eval_atten(workdir, capsys):
     """eval-atten decodes hanzi straight from the CTC-attention model
     (depends on test_cli_atten_train's checkpoint)."""

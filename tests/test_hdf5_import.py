@@ -192,6 +192,140 @@ print("BITPARITY_OK", diff)
     assert "BITPARITY_OK" in r.stdout
 
 
+# ---------------------------------------------------------------------------
+# cnn_rnn_ctc (BiGRU) layout: import + float64 parity for the Keras GRU
+# semantics (hard_sigmoid gates, reset-before-matmul, go_backwards outputs
+# left time-reversed before the add merge — cnn_rnn_ctc.py:37-56).
+# ---------------------------------------------------------------------------
+
+def _write_fake_bigru(path, vocab=30, hidden=8, feat=12):
+    """Keras-2 style (1-based layer names) cnn_rnn_ctc weight file."""
+    rng = np.random.default_rng(3)
+    layer_names = []
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+
+        def put(lname, names_arrays):
+            g = mw.create_group(lname)
+            wnames = []
+            for suffix, arr in names_arrays:
+                wname = f"{lname}/{suffix}:0"
+                g.create_dataset(wname, data=arr.astype(np.float32))
+                wnames.append(wname)
+            g.attrs["weight_names"] = np.array([n.encode() for n in wnames])
+            layer_names.append(lname)
+
+        def dense(idx, din, dout):
+            put(f"dense_{idx}",
+                [("kernel", 0.3 * rng.standard_normal((din, dout))),
+                 ("bias", 0.1 * rng.standard_normal(dout))])
+
+        def gru(idx, din, h):
+            put(f"gru_{idx}",
+                [("kernel", 0.3 * rng.standard_normal((din, 3 * h))),
+                 ("recurrent_kernel", 0.3 * rng.standard_normal((h, 3 * h))),
+                 ("bias", 0.1 * rng.standard_normal(3 * h))])
+
+        dense(1, feat, hidden)
+        dense(2, hidden, hidden)
+        for layer in range(3):
+            gru(2 * layer + 1, hidden, hidden)
+            gru(2 * layer + 2, hidden, hidden)
+        dense(3, hidden, hidden)
+        dense(4, hidden, vocab)
+        mw.attrs["layer_names"] = np.array([n.encode() for n in layer_names])
+
+
+def _np_keras_gru(weights, x, go_backwards=False):
+    """float64 keras.layers.recurrent.GRU: gate order [z|r|h], hard_sigmoid
+    recurrent activation, reset_after=False; go_backwards returns outputs
+    in processing (reversed) order, as Keras does."""
+    kernel, rec, bias = (np.asarray(w, np.float64) for w in weights)
+    h = rec.shape[0]
+    hs = lambda a: np.clip(0.2 * a + 0.5, 0.0, 1.0)
+    if go_backwards:
+        x = x[:, ::-1]
+    ht = np.zeros((x.shape[0], h))
+    out = []
+    for t in range(x.shape[1]):
+        xt = x[:, t] @ kernel + bias
+        z = hs(xt[:, :h] + ht @ rec[:, :h])
+        r = hs(xt[:, h:2 * h] + ht @ rec[:, h:2 * h])
+        hh = np.tanh(xt[:, 2 * h:] + (r * ht) @ rec[:, 2 * h:])
+        ht = z * ht + (1.0 - z) * hh
+        out.append(ht)
+    return np.stack(out, axis=1)
+
+
+def _np_bigru(variables, x):
+    """float64 forward of the cnn_rnn_ctc graph (dropout = identity at
+    inference; softmax head dropped as in the DFCNN importer)."""
+    p = variables["params"]
+    relu = lambda a: np.maximum(a, 0.0)
+    d = lambda name, a: a @ np.asarray(p[name]["kernel"], np.float64) + \
+        np.asarray(p[name]["bias"], np.float64)
+    x = relu(d("Dense_0", x.astype(np.float64)))
+    x = relu(d("Dense_1", x))
+    for layer in range(3):
+        g = lambda n: [p[n]["kernel"], p[n]["recurrent_kernel"],
+                       p[n]["bias"]]
+        y1 = _np_keras_gru(g(f"gru_fwd_{layer}"), x)
+        y2 = _np_keras_gru(g(f"gru_bwd_{layer}"), x, go_backwards=True)
+        x = y1 + y2          # reversed-order add quirk kept
+    x = relu(d("Dense_2", x))
+    return d("Dense_3", x)
+
+
+def test_bigru_hdf5_import_matches_float64_numpy(tmp_path):
+    from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
+        load_keras_bigru_hdf5)
+    from asr_dfcnn_transformer_tpu.models import BiGRUCTC
+
+    path = str(tmp_path / "bigru.hdf5")
+    _write_fake_bigru(path, vocab=30, hidden=8, feat=12)
+    variables = load_keras_bigru_hdf5(path, vocab_size=30, hidden=8)
+    x = np.random.default_rng(9).standard_normal((2, 7, 12)) \
+        .astype(np.float32)
+    want = _np_bigru(variables, x)
+    model = BiGRUCTC(vocab_size=30, hidden=8, keras_parity=True,
+                     dtype=jnp.float32)
+    got = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables), x,
+                                 train=False), np.float64)
+    assert got.shape == want.shape == (2, 7, 30)
+    scale = np.maximum(np.abs(want), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
+
+
+def test_bigru_hdf5_roundtrip_and_validation(tmp_path):
+    from asr_dfcnn_transformer_tpu.infer.hdf5_import import (
+        load_keras_bigru_hdf5, save_keras_bigru_hdf5)
+    from asr_dfcnn_transformer_tpu.models import BiGRUCTC
+
+    model = BiGRUCTC(vocab_size=30, hidden=8, keras_parity=True,
+                     dtype=jnp.float32)
+    x = np.random.default_rng(2).standard_normal((1, 5, 12)) \
+        .astype(np.float32)
+    v = jax.tree.map(np.asarray,
+                     model.init(jax.random.PRNGKey(0), x, train=False))
+    path = str(tmp_path / "export.hdf5")
+    save_keras_bigru_hdf5(path, v, vocab_size=30, hidden=8)
+    back = load_keras_bigru_hdf5(path, vocab_size=30, hidden=8)
+    flat_a = jax.tree_util.tree_flatten_with_path(v)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert len(flat_a) == len(flat_b)
+    for p_, arr in flat_a:
+        np.testing.assert_array_equal(arr, flat_b[p_], err_msg=str(p_))
+    y0 = model.apply(v, x, train=False)
+    y1 = model.apply(jax.tree.map(jnp.asarray, back), x, train=False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    try:
+        load_keras_bigru_hdf5(path, vocab_size=999, hidden=8)
+    except ValueError as e:
+        assert "vocab" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
 def test_hdf5_export_roundtrip(tmp_path):
     """save_keras_dfcnn_hdf5 -> load_keras_dfcnn_hdf5 reproduces the exact
     variable tree and forward pass (bidirectional weight exchange)."""
