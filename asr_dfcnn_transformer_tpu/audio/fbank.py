@@ -216,13 +216,11 @@ def batched_fbank(signals: jnp.ndarray, lengths: jnp.ndarray,
         )
 
         interpret = jax.devices()[0].platform != "tpu"
-        pre = jax.vmap(lambda s, l: _preemphasis(s.astype(jnp.float32),
-                                                 cfg.preemph)
-                       * (jnp.arange(s.shape[0]) < l))(signals, lengths)
         # compute over ALL valid frames so the CMVN statistics match the
         # per-utterance path even when t_out truncates, then slice/pad
-        feat = pallas_log_mel(pre, max(t_out, n), cfg=cfg,
-                              interpret=interpret)
+        # (pre-emphasis + the boundary mask run inside the kernel)
+        feat = pallas_log_mel(signals.astype(jnp.float32), lengths,
+                              max(t_out, n), cfg=cfg, interpret=interpret)
         feats = jax.vmap(cmvn)(feat, valid)
         if t_out <= feat.shape[1]:
             feats = feats[:, :t_out]

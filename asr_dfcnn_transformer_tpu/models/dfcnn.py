@@ -80,6 +80,13 @@ class SEDFCNN(nn.Module):
     # True entries), ~2.7x fewer conv FLOPs, and the C=1 first conv the
     # MXU hates disappears.
     space_to_depth: bool = False
+    # Remat the first N stages in the backward pass: their full-resolution
+    # activations (stage 1 alone stores ~3.2 GB at batch 64) are
+    # recomputed from the stage input instead of living in HBM across the
+    # whole backward — trading cheap early-conv FLOPs for the HBM traffic
+    # that bounds the standard train step (DESIGN.md §9). Weight-parity
+    # and forward outputs are unchanged (same module names, same math).
+    remat_stages: int = 0
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -95,20 +102,33 @@ class SEDFCNN(nn.Module):
             x = x.reshape(b, t // 2, 2, f // 2, 2, c)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, t // 2, f // 2,
                                                       4 * c)
-        for feats, pool, ratio in zip(self.stage_features, self.stage_pool,
-                                      self.se_ratio):
-            h = ConvBnCell(feats, pool=pool, pool_type="avg",
-                           dtype=self.dtype)(x, train)
+        n_stages = len(self.stage_features)
+        for idx, (feats, pool, ratio) in enumerate(
+                zip(self.stage_features, self.stage_pool, self.se_ratio)):
+            if idx < self.remat_stages:
+                # explicit names: nn.remat would otherwise prefix the
+                # auto-names with "Checkpoint", breaking checkpoint/
+                # importer weight-parity
+                Cell = nn.remat(ConvBnCell, static_argnums=(2,))
+                SE = nn.remat(SqueezeExcite, static_argnums=(2,))
+            else:
+                Cell, SE = ConvBnCell, SqueezeExcite
+            cn = [f"ConvBnCell_{2 * idx}", f"ConvBnCell_{2 * idx + 1}"]
+            sn = f"SqueezeExcite_{idx}"
+            h = Cell(feats, pool=pool, pool_type="avg",
+                     dtype=self.dtype, name=cn[0])(x, train)
             if self.se_first:
-                se = SqueezeExcite(feats, ratio, dtype=self.dtype)(h, train)
-                h2 = ConvBnCell(feats, pool=False, pool_type="avg",
-                                dtype=self.dtype)(se, train)
+                se = SE(feats, ratio, dtype=self.dtype, name=sn)(h, train)
+                h2 = Cell(feats, pool=False, pool_type="avg",
+                          dtype=self.dtype, name=cn[1])(se, train)
                 x = h + h2
             else:
-                h2 = ConvBnCell(feats, pool=False, pool_type="avg",
-                                dtype=self.dtype)(h, train)
-                x = h + SqueezeExcite(feats, ratio, dtype=self.dtype)(h2, train)
-        x = ConvBnCell(self.head_features, dtype=self.dtype)(x, train)
+                h2 = Cell(feats, pool=False, pool_type="avg",
+                          dtype=self.dtype, name=cn[1])(h, train)
+                x = h + SE(feats, ratio, dtype=self.dtype,
+                           name=sn)(h2, train)
+        x = ConvBnCell(self.head_features, dtype=self.dtype,
+                       name=f"ConvBnCell_{2 * n_stages}")(x, train)
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)

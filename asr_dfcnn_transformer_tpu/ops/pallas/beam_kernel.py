@@ -51,10 +51,56 @@ def _lse2(a, b):
     return jnp.where(m <= _NEG_INF / 2, _NEG_INF, out)
 
 
+def _merge_2d(cand_h1, cand_h2, cand_pb, cand_pnb, m: int):
+    """Duplicate merge + first-occurrence as an M-iteration loop of 2-D
+    ops (no [BB, M, M] broadcast-transposes — those SIGABRT Mosaic's
+    layout inference on multi-tile batch blocks; see _batch_block).
+
+    Two passes keep the masked-lse rounding identical to the 3-D version:
+    pass 1 finds each target's max over its duplicate class, pass 2 sums
+    exp(score - max). Returns (merged_pb, merged_pnb, first)."""
+    bb = cand_h1.shape[0]
+
+    def eq_col(j):
+        # [BB, M]: does target i share source j's hash pair?
+        return (cand_h1 == cand_h1[:, j:j + 1]) & \
+               (cand_h2 == cand_h2[:, j:j + 1])
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (bb, m), 1)
+    mx_pb = jnp.full((bb, m), _NEG_INF)
+    mx_pnb = jnp.full((bb, m), _NEG_INF)
+    dup = jnp.zeros((bb, m), jnp.int32)
+    for j in range(m):
+        ej = eq_col(j)
+        mx_pb = jnp.maximum(mx_pb, jnp.where(ej, cand_pb[:, j:j + 1],
+                                             _NEG_INF))
+        mx_pnb = jnp.maximum(mx_pnb, jnp.where(ej, cand_pnb[:, j:j + 1],
+                                               _NEG_INF))
+        if j + 1 < m:
+            # duplicate-of-an-earlier-candidate count for targets i > j
+            dup = dup + jnp.where(ej & (idx > j), 1, 0)
+    s_pb = jnp.zeros((bb, m))
+    s_pnb = jnp.zeros((bb, m))
+    mxs_pb = jnp.maximum(mx_pb, _NEG_INF / 2)
+    mxs_pnb = jnp.maximum(mx_pnb, _NEG_INF / 2)
+    for j in range(m):
+        ej = eq_col(j)
+        s_pb = s_pb + jnp.where(
+            ej, jnp.exp(cand_pb[:, j:j + 1] - mxs_pb), 0.0)
+        s_pnb = s_pnb + jnp.where(
+            ej, jnp.exp(cand_pnb[:, j:j + 1] - mxs_pnb), 0.0)
+    merged_pb = jnp.where(mx_pb <= _NEG_INF / 2, _NEG_INF,
+                          mxs_pb + jnp.log(jnp.maximum(s_pb, 1e-37)))
+    merged_pnb = jnp.where(mx_pnb <= _NEG_INF / 2, _NEG_INF,
+                           mxs_pnb + jnp.log(jnp.maximum(s_pnb, 1e-37)))
+    return merged_pb, merged_pnb, dup == 0
+
+
 def _beam_kernel(lens_ref, lp_hbm, toplp_ref, topid_ref,
                  pref_ref, plen_ref, pb_ref, pnb_ref,
                  lp_buf, sems,
-                 w: int, k: int, blank: int, lcap: int):
+                 w: int, k: int, blank: int, lcap: int,
+                 fully_2d: bool = False):
     bb = pb_ref.shape[0]
     t_total = toplp_ref.shape[0]
     bi = pl.program_id(0)
@@ -145,50 +191,84 @@ def _beam_kernel(lens_ref, lp_hbm, toplp_ref, topid_ref,
             [jnp.full((bb, w), -1, jnp.int32), e_id], 1)
 
         # ---- duplicate merge: (h1, h2) equality, first occurrence ----
-        eq = (cand_h1[:, :, None] == cand_h1[:, None, :]) & \
-             (cand_h2[:, :, None] == cand_h2[:, None, :])
+        if fully_2d:
+            merged_pb, merged_pnb, first = _merge_2d(
+                cand_h1, cand_h2, cand_pb, cand_pnb, m)
+        else:
+            eq = (cand_h1[:, :, None] == cand_h1[:, None, :]) & \
+                 (cand_h2[:, :, None] == cand_h2[:, None, :])
 
-        def masked_lse(scores):
-            s_exp = jnp.where(eq, scores[:, None, :], _NEG_INF)
-            mx = jnp.max(s_exp, axis=2)
-            mx_safe = jnp.maximum(mx, _NEG_INF / 2)
-            out = mx_safe + jnp.log(
-                jnp.sum(jnp.exp(s_exp - mx_safe[..., None]), axis=2))
-            return jnp.where(mx <= _NEG_INF / 2, _NEG_INF, out)
+            def masked_lse(scores):
+                s_exp = jnp.where(eq, scores[:, None, :], _NEG_INF)
+                mx = jnp.max(s_exp, axis=2)
+                mx_safe = jnp.maximum(mx, _NEG_INF / 2)
+                out = mx_safe + jnp.log(
+                    jnp.sum(jnp.exp(s_exp - mx_safe[..., None]), axis=2))
+                return jnp.where(mx <= _NEG_INF / 2, _NEG_INF, out)
 
-        merged_pb = masked_lse(cand_pb)
-        merged_pnb = masked_lse(cand_pnb)
-        first = jnp.sum(
-            eq & (midx[:, None, :] < midx[:, :, None]), axis=2) == 0
+            merged_pb = masked_lse(cand_pb)
+            merged_pnb = masked_lse(cand_pnb)
+            first = jnp.sum(
+                eq & (midx[:, None, :] < midx[:, :, None]), axis=2) == 0
         total = jnp.where(first, _lse2(merged_pb, merged_pnb), _NEG_INF)
 
-        # ---- iterative top-W (argmax + mask, W rounds) ----
-        def pick(j, carry):
-            (rem, n_pb, n_pnb, n_h1, n_h2, n_len, n_src, n_add) = carry
-            best = jnp.argmax(rem, axis=1)                 # [BB]
-            hit = midx == best[:, None]                    # [BB, M]
-            wsel = widx == j                               # [BB, W]
-            # exactly one hit per row -> sum with 0-neutral is an exact
-            # select (works for ints/uint32 hashes without float detours)
-            pick1 = lambda arr: jnp.sum(
-                jnp.where(hit, arr, jnp.zeros_like(arr)), axis=1,
-                keepdims=True)
-            put = lambda dst, val: jnp.where(wsel, val, dst)
-            n_pb = put(n_pb, pick1(merged_pb))
-            n_pnb = put(n_pnb, pick1(merged_pnb))
-            n_h1 = put(n_h1, pick1(cand_h1))
-            n_h2 = put(n_h2, pick1(cand_h2))
-            n_len = put(n_len, pick1(cand_len))
-            n_src = put(n_src, pick1(cand_src))
-            n_add = put(n_add, pick1(cand_add))
-            rem = jnp.where(hit, _PICKED, rem)
-            return (rem, n_pb, n_pnb, n_h1, n_h2, n_len, n_src, n_add)
+        pick1_hit = lambda hit, arr: jnp.sum(
+            jnp.where(hit, arr, jnp.zeros_like(arr)), axis=1,
+            keepdims=True)
 
-        z_f = jnp.zeros((bb, w))
-        z_i = jnp.zeros((bb, w), jnp.int32)
-        (_, new_pb, new_pnb, new_h1, new_h2, new_len, new_src,
-         new_add) = jax.lax.fori_loop(
-            0, w, pick, (total, z_f, z_f, z_i, z_i, z_i, z_i, z_i))
+        if fully_2d:
+            # ---- top-W by explicit rank (no sequential argmax chain):
+            # rank[i] = #{j: total[j] > total[i]} + #{j < i: tie} — the
+            # exact lax.top_k order (descending, ties by ascending index).
+            rank = jnp.zeros((bb, m), jnp.int32)
+            one = jnp.ones((bb, m), jnp.int32)
+            zero = jnp.zeros((bb, m), jnp.int32)
+            for j in range(m):
+                tj = total[:, j:j + 1]
+                rank = rank + jnp.where(tj > total, one, zero)
+                rank = rank + jnp.where((tj == total) & (midx > j),
+                                        one, zero)
+            z_f = jnp.zeros((bb, w))
+            z_i = jnp.zeros((bb, w), jnp.int32)
+            new_pb, new_pnb = z_f, z_f
+            new_h1 = new_h2 = new_len = new_src = new_add = z_i
+            for slot in range(w):
+                hit = rank == slot                          # [BB, M]
+                wsel = widx == slot                         # [BB, W]
+                put = lambda dst, arr: jnp.where(
+                    wsel, pick1_hit(hit, arr), dst)
+                new_pb = put(new_pb, merged_pb)
+                new_pnb = put(new_pnb, merged_pnb)
+                new_h1 = put(new_h1, cand_h1)
+                new_h2 = put(new_h2, cand_h2)
+                new_len = put(new_len, cand_len)
+                new_src = put(new_src, cand_src)
+                new_add = put(new_add, cand_add)
+        else:
+            # ---- iterative top-W (argmax + mask, W rounds) ----
+            def pick(j, carry):
+                (rem, n_pb, n_pnb, n_h1, n_h2, n_len, n_src, n_add) = carry
+                best = jnp.argmax(rem, axis=1)             # [BB]
+                hit = midx == best[:, None]                # [BB, M]
+                wsel = widx == j                           # [BB, W]
+                # exactly one hit per row -> sum with 0-neutral is an
+                # exact select (ints/uint32 hashes without float detours)
+                put = lambda dst, val: jnp.where(wsel, val, dst)
+                n_pb = put(n_pb, pick1_hit(hit, merged_pb))
+                n_pnb = put(n_pnb, pick1_hit(hit, merged_pnb))
+                n_h1 = put(n_h1, pick1_hit(hit, cand_h1))
+                n_h2 = put(n_h2, pick1_hit(hit, cand_h2))
+                n_len = put(n_len, pick1_hit(hit, cand_len))
+                n_src = put(n_src, pick1_hit(hit, cand_src))
+                n_add = put(n_add, pick1_hit(hit, cand_add))
+                rem = jnp.where(hit, _PICKED, rem)
+                return (rem, n_pb, n_pnb, n_h1, n_h2, n_len, n_src, n_add)
+
+            z_f = jnp.zeros((bb, w))
+            z_i = jnp.zeros((bb, w), jnp.int32)
+            (_, new_pb, new_pnb, new_h1, new_h2, new_len, new_src,
+             new_add) = jax.lax.fori_loop(
+                0, w, pick, (total, z_f, z_f, z_i, z_i, z_i, z_i, z_i))
 
         # ---- rebuild prefixes: gather source prefix rows, append symbol.
         # Static accumulate over the W source beams (Mosaic-safe: only
@@ -248,10 +328,11 @@ def _batch_block(b: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "topk", "blank",
-                                             "max_decode_len", "interpret"))
+                                             "max_decode_len", "interpret",
+                                             "batch_block"))
 def beam_search(lp_all, top_lp_all, top_ids_all, logit_lengths, *,
                 beam_width: int, topk: int, blank: int, max_decode_len: int,
-                interpret: bool = False):
+                interpret: bool = False, batch_block: int | None = None):
     """Run the in-VMEM prefix beam search.
 
     Args:
@@ -259,11 +340,17 @@ def beam_search(lp_all, top_lp_all, top_ids_all, logit_lengths, *,
       top_lp_all / top_ids_all: [B, T, K] per-frame top-K (precomputed —
         a single big XLA top_k over the whole batch is MXU/sort-friendly).
       logit_lengths: [B].
+      batch_block: rows per grid step (None = _batch_block's default).
+        Blocks > 8 switch the merge and top-W stages to the fully-2-D
+        implementations (_merge_2d + rank select) that avoid the Mosaic
+        multi-tile layout aborts; must be a multiple of 8.
     Returns: (prefixes [B, W, L], plen [B, W], pb [B, W], pnb [B, W]).
     """
     b_in, t, v = lp_all.shape
     w, k, lcap = beam_width, topk, max_decode_len
-    bb = _batch_block(b_in)
+    bb = batch_block if batch_block is not None else _batch_block(b_in)
+    if bb % 8:
+        raise ValueError("batch_block must be a multiple of 8")
     b = -(-b_in // bb) * bb                # pad batch: 8-aligned DMA offsets
     if b != b_in:
         bpad = ((0, b - b_in),)
@@ -286,7 +373,7 @@ def beam_search(lp_all, top_lp_all, top_ids_all, logit_lengths, *,
     grid = (b // bb,)
     row3 = lambda i: (0, i, 0)
     kernel = functools.partial(_beam_kernel, w=w, k=k, blank=blank,
-                               lcap=lcap)
+                               lcap=lcap, fully_2d=bb > 8)
     out_shapes = (
         jax.ShapeDtypeStruct((b, w, lcap), jnp.int32),
         jax.ShapeDtypeStruct((b, w), jnp.int32),

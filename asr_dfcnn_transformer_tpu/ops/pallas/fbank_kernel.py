@@ -23,6 +23,14 @@ frame): big-M matmuls keep the MXU fed and amortize per-step grid
 overhead, which dominated the earlier 320-frame tiling at large batch
 (DESIGN.md §3/§9).
 
+Pre-emphasis and the signal-boundary mask are fused INTO the kernel
+(round 3): the DMA'd row view is the raw signal (one global leading zero
+row so every tile sees its previous row), and each grid step computes
+``pe[t] = x[t] - 0.97 x[t-1]`` with a lane roll (+ a row roll for each
+row's first sample) and zeroes samples past the utterance length — the
+separate [B, S]-sized XLA pre-emphasis/mask pass that used to cost
+~1.8 ms of wrapper time at batch 128 is gone.
+
 Per-utterance CMVN stays outside (it needs global-time statistics; one
 cheap fused elementwise pass).
 
@@ -53,7 +61,8 @@ MAX_TILE = 800        # frames per grid step (whole utterance if it fits)
 _EPS = float(np.finfo(np.float64).eps)
 
 
-def _kernel(sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf, sems):
+def _kernel(lens_ref, sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf,
+            sems, *, preemph: float):
     b = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -82,12 +91,39 @@ def _kernel(sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf, sems):
         dma(nk // nt, jax.lax.rem(nk, nt), 1 - slot).start()
 
     dma(b, i, slot).wait()
-    rows = buf[slot]
-    a = rows[0:tile]
+    raw = buf[slot]
+    # ---- fused pre-emphasis: pe[t] = x[t] - c*x[t-1] on the row view.
+    # Buffer row j holds signal row (i*tile + j - 1) — the host prepends
+    # one global zero row, so j=0 is every tile's previous row and pe[0]
+    # of the utterance sees x[-1] = 0 (same as _preemphasis's kept first
+    # sample). Per row, the previous sample is the lane-rolled row for
+    # lanes >= 1 and the PREVIOUS row's lane HOP-1 for lane 0.
+    lane = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
+    prev_lane = pltpu.roll(raw, shift=1, axis=1)
+    prev_row = pltpu.roll(raw, shift=1, axis=0)
+    # previous row's lane HOP-1 rotated onto lane 0
+    prev_row_last = pltpu.roll(prev_row, shift=raw.shape[1] - (HOP - 1),
+                               axis=1)
+    prev_samp = jnp.where(lane == 0, prev_row_last, prev_lane)
+    pe = raw - preemph * prev_samp
+    # ---- fused boundary/pad mask: zero lanes past the real HOP samples
+    # and samples at/after the utterance length (parity with
+    # batched_fbank's post-pre-emphasis mask — kills the -c*x[len-1]
+    # spike just past the signal end).
+    row_g = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 0) \
+        + (i * tile - 1)                                # global signal row
+    samp_idx = row_g * HOP + lane
+    slen = lens_ref[0, 0]
+    pe = jnp.where((lane < HOP) & (samp_idx < slen) & (samp_idx >= 0),
+                   pe, 0.0)
+
     # pltpu.roll wants non-negative circular shifts: rolling by L-k moves
-    # row i+k to position i
-    b_rows = pltpu.roll(rows, shift=n_rows - 1, axis=0)[0:tile]
-    c_rows = pltpu.roll(rows, shift=n_rows - 2, axis=0)[0:tile]
+    # row i+k to position i; frame f needs pe signal rows f/f+1/f+2 =
+    # buffer rows f+1/f+2/f+3 (offset-0 slices of rolled arrays keep the
+    # matmul operands sublane-aligned)
+    a = pltpu.roll(pe, shift=n_rows - 1, axis=0)[0:tile]
+    b_rows = pltpu.roll(pe, shift=n_rows - 2, axis=0)[0:tile]
+    c_rows = pltpu.roll(pe, shift=n_rows - 3, axis=0)[0:tile]
 
     def dft(basis_ref):
         # rows are 160 real samples zero-padded to 256 lanes; contracting
@@ -110,14 +146,15 @@ def _kernel(sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf, sems):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "out_frames", "interpret"))
-def pallas_log_mel(signals: jnp.ndarray, out_frames: int,
+def pallas_log_mel(signals: jnp.ndarray, lengths: jnp.ndarray,
+                   out_frames: int,
                    cfg: FbankConfig = FbankConfig(),
                    interpret: bool = False) -> jnp.ndarray:
-    """[B, S] pre-emphasized signals -> [B, out_frames, nfilt] log-mel.
+    """[B, S] RAW signals + [B] sample lengths -> [B, out_frames, nfilt]
+    log-mel. Pre-emphasis and the boundary mask run inside the kernel.
 
     ``out_frames`` is rounded up to a multiple of 8 (and split into equal
-    <=MAX_TILE-frame tiles) internally and the result sliced back. The caller is responsible for pre-emphasis and for
-    masking padding (audio.fbank.batched_fbank does both).
+    <=MAX_TILE-frame tiles) internally and the result sliced back.
     """
     assert cfg.win_len == WIN and cfg.hop == HOP, "kernel fixed to 400/160"
     b, s = signals.shape
@@ -129,13 +166,17 @@ def pallas_log_mel(signals: jnp.ndarray, out_frames: int,
     t_tiles = -(-t8 // MAX_TILE)
     tile = -(-(-(-t8 // t_tiles)) // 8) * 8
     t_all = tile * t_tiles
-    rows_total = t_all + 8   # +2 shifted rows, padded to sublane multiple
-    need = rows_total * HOP
+    rows_total = t_all + 8   # +1 leading zero + 2 shifted rows, 8-aligned
+    need = (rows_total - 1) * HOP
     if s < need:
         signals = jnp.pad(signals, ((0, 0), (0, need - s)))
     else:
         signals = signals[:, :need]
-    sig_rows = signals.reshape(b, rows_total, HOP)
+    sig_rows = signals.reshape(b, rows_total - 1, HOP)
+    # one global leading zero row: buffer row j <-> signal row j-1, so
+    # every tile's DMA window carries its previous row (the pre-emphasis
+    # x[t-1] source) at an 8-aligned offset
+    sig_rows = jnp.pad(sig_rows, ((0, 0), (1, 0), (0, 0)))
     # pad each 160-sample row to 256 lanes so HBM->VMEM DMA slices are
     # tile-aligned (Mosaic requires the minor dim % 128 == 0)
     sig_rows = jnp.pad(sig_rows, ((0, 0), (0, 0), (0, ROW - HOP)))
@@ -162,9 +203,11 @@ def pallas_log_mel(signals: jnp.ndarray, out_frames: int,
     sin_blocks = block_basis(sin_b)
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, preemph=float(cfg.preemph)),
         grid=(b, t_tiles),
         in_specs=[
+            pl.BlockSpec((1, 8), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),   # lengths (widened)
             # ANY-space inputs must be whole-array blocks; the kernel DMAs
             # the (batch, tile) slices itself via program_id
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -191,6 +234,7 @@ def pallas_log_mel(signals: jnp.ndarray, out_frames: int,
             transcendentals=b * t_all * cfg.nfilt,
         ),
         interpret=interpret,
-    )(sig_rows, jnp.asarray(cos_blocks), jnp.asarray(sin_blocks),
+    )(jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (b, 8)),
+      sig_rows, jnp.asarray(cos_blocks), jnp.asarray(sin_blocks),
       jnp.asarray(mel))
     return out[:, :out_frames, :]

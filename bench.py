@@ -283,6 +283,42 @@ def bench_lm_only(m, batch=128, seq_len=64):
             "utts_per_sec": round(batch / dt, 2), **roof}
 
 
+def bench_streaming_chunk(m, chunk_logits=16, halo=64):
+    """Per-chunk cost of the incremental streaming path (VERDICT r2 #6):
+    one fixed-shape AM window ([halo | 8*CL | halo] frames) + the fbank
+    frame group feeding it. Flat in stream length by construction; the
+    number here is the TPU work a 1.28 s audio chunk costs."""
+    import jax
+    import jax.numpy as jnp
+
+    win = 2 * halo + 8 * chunk_logits
+
+    def am_chunk(window):
+        logits = m.am.apply(m.am_vars, window[:, :, :, None], train=False)
+        q0 = halo // 8
+        return jnp.argmax(logits[:, q0: q0 + chunk_logits], axis=-1)
+
+    rs = np.random.default_rng(_SALT)
+    wnd = jax.device_put(rs.standard_normal((1, win, 200))
+                         .astype(np.float32))
+    dt_am, roof = _scan_time(lambda z, i: am_chunk(z), wnd, iters=200)
+
+    from asr_dfcnn_transformer_tpu.audio import fbank as fb
+    group = 8 * chunk_logits
+    cfg = fb.FbankConfig(preemph=0.0, backend="xla")
+    pe = jax.device_put(rs.standard_normal(
+        ((group - 1) * 160 + 400,)).astype(np.float32))
+    dt_fb, _ = _scan_time(lambda z, i: fb.logfbank(z, cfg), pe, iters=200)
+
+    chunk_audio_s = 8 * chunk_logits * 0.010
+    total = dt_am + dt_fb
+    return {"chunk_ms": round(1000 * total, 3),
+            "am_window_ms": round(1000 * dt_am, 3),
+            "fbank_group_ms": round(1000 * dt_fb, 3),
+            "chunk_audio_s": chunk_audio_s,
+            "rtfx": round(chunk_audio_s / total, 1), **roof}
+
+
 def _train_scan_time(step_fn, state, steps):
     """Slope timing for a training step: two AOT-compiled scans of the
     step (_LO and _LO+steps trips) from the same initial state, each run
@@ -312,8 +348,10 @@ def _train_scan_time(step_fn, state, steps):
     return dt, _roofline(dt, _cost_delta(_cost(mlo), _cost(mhi), steps))
 
 
-def bench_train(m, fast=False, batch=64, steps=40):
-    """BASELINE config 5: full training step (pure device time, scanned)."""
+def bench_train(m, fast=False, batch=64, steps=40, model=None):
+    """BASELINE config 5: full training step (pure device time, scanned).
+    ``model`` overrides the AM (e.g. SEDFCNN(remat_stages=N) for the
+    stage-remat experiments, DESIGN.md §9)."""
     import tempfile
 
     import jax
@@ -331,7 +369,7 @@ def bench_train(m, fast=False, batch=64, steps=40):
                  hanzi=lab, hanzi_lengths=np.full((batch,), 48, np.int32),
                  weights=np.ones((batch,), np.float32),
                  bucket_frames=FRAMES)
-    model = m.fast if fast else m.am
+    model = model or (m.fast if fast else m.am)
     tr = AMTrainer(model, tempfile.mkdtemp(prefix="bench_train_"))
     tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), ab))
     dev = [jax.device_put(x) for x in (ab.signals, ab.signal_lengths,
@@ -514,6 +552,7 @@ def main():
                                                    noise=True, iters=50))
     if only is None and suite:
         emit()  # checkpoint: the five BASELINE configs are in
+    run("streaming_chunk", lambda: bench_streaming_chunk(m))
     run("am_lm_fast_b128", lambda: bench_am_lm(m, batch, am=m.fast,
                                                am_vars=m.fast_vars))
     run("am_lm_keras_b128", lambda: bench_am_lm(m, batch, am=m.keras[0],

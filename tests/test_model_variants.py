@@ -61,3 +61,34 @@ def test_bigru_trains_under_am_trainer(tmp_path):
     assert np.isfinite(losses).all()
     ev = tr.eval_step(batches[0])
     assert np.isfinite(float(ev["loss"]))
+
+
+def test_sedfcnn_remat_stages_weight_parity_and_math():
+    """remat_stages trades HBM for recompute without touching weight
+    names, forward outputs, or gradients (beyond float reassociation)."""
+    from asr_dfcnn_transformer_tpu.models import SEDFCNN
+    kw = dict(stage_features=(4, 4, 8, 8, 8), se_ratio=(1, 2, 2, 2, 2),
+              head_features=8, dropout_rate=0.0, dtype=jnp.float32)
+    m0 = SEDFCNN(32, **kw)
+    m1 = SEDFCNN(32, remat_stages=2, **kw)
+    x = np.random.default_rng(0).standard_normal((2, 32, 40, 1)) \
+        .astype(np.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v0) == \
+        jax.tree_util.tree_structure(v1)   # no Checkpoint* renames
+    np.testing.assert_array_equal(np.asarray(m0.apply(v0, x, train=False)),
+                                  np.asarray(m1.apply(v0, x, train=False)))
+
+    def loss(m, p):
+        out, _ = m.apply({"params": p, "batch_stats": v0["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(out ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v0["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(v0["params"])
+    for (k, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(g0)[0],
+                              jax.tree_util.tree_flatten_with_path(g1)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=str(k))

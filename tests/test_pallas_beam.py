@@ -66,6 +66,65 @@ def test_beam_kernel_return_all_and_odd_batch():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_beam_kernel_fully_2d_multi_tile_block_matches_scan():
+    """batch_block > 8 switches to the fully-2-D merge (_merge_2d) and the
+    rank-based top-W; results must still match the scan backend exactly
+    (interpret mode — the Mosaic multi-tile compile is validated on TPU)."""
+    import jax.numpy as jnp
+
+    from asr_dfcnn_transformer_tpu.ops.pallas import beam_kernel
+
+    rng = np.random.default_rng(17)
+    B, T, V = 16, 15, 12
+    logits = rng.standard_normal((B, T, V)).astype(np.float32) * 2.0
+    lens = rng.integers(1, T + 1, size=B).astype(np.int32)
+    w, k, lcap = 4, 3, 6
+    import jax
+    lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    top_lp, top_id = jax.lax.top_k(lp, k)
+    ref = ctc_beam_search_decode(jnp.asarray(logits), jnp.asarray(lens),
+                                 beam_width=w, topk=k, blank_id=-1,
+                                 max_decode_len=lcap, backend="scan")
+    pref, plen, pb, pnb = beam_kernel.beam_search(
+        lp, top_lp, top_id, jnp.asarray(lens), beam_width=w, topk=k,
+        blank=V - 1, max_decode_len=lcap, interpret=True, batch_block=16)
+    from asr_dfcnn_transformer_tpu.ops.ctc_decode import _beam_finish
+    ids, lns, nlp = _beam_finish(pref, plen, pb, pnb, lcap, False)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(lns), np.asarray(ref[1]))
+    np.testing.assert_allclose(np.asarray(nlp), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_beam_kernel_fully_2d_exhausted_candidates():
+    """Tie-safety of the rank-based top-W when beam_width > live
+    candidates (the fully-2-D analog of the pick-loop regression)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_dfcnn_transformer_tpu.ops.ctc_decode import _beam_finish
+    from asr_dfcnn_transformer_tpu.ops.pallas import beam_kernel
+
+    rng = np.random.default_rng(19)
+    B, T, V = 8, 10, 12
+    logits = rng.standard_normal((B, T, V)).astype(np.float32) * 2.0
+    lens = np.full((B,), T, np.int32)
+    w, k, lcap = 6, 2, 6
+    lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    top_lp, top_id = jax.lax.top_k(lp, k)
+    ref = ctc_beam_search_decode(jnp.asarray(logits), jnp.asarray(lens),
+                                 beam_width=w, topk=k, blank_id=-1,
+                                 max_decode_len=lcap, backend="scan")
+    pref, plen, pb, pnb = beam_kernel.beam_search(
+        lp, top_lp, top_id, jnp.asarray(lens), beam_width=w, topk=k,
+        blank=V - 1, max_decode_len=lcap, interpret=True, batch_block=16)
+    ids, lns, nlp = _beam_finish(pref, plen, pb, pnb, lcap, False)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(lns), np.asarray(ref[1]))
+    np.testing.assert_allclose(np.asarray(nlp), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_beam_backend_validation():
     with pytest.raises(ValueError):
         ctc_beam_search_decode(jnp.zeros((1, 4, 5)), jnp.array([4]),
