@@ -212,6 +212,7 @@ def batched_fbank(signals: jnp.ndarray, lengths: jnp.ndarray,
                    and jax.devices()[0].platform == "tpu" else "xla")
     if backend == "pallas":
         from asr_dfcnn_transformer_tpu.ops.pallas.fbank_kernel import (
+            pallas_cmvn,
             pallas_log_mel,
         )
 
@@ -221,7 +222,7 @@ def batched_fbank(signals: jnp.ndarray, lengths: jnp.ndarray,
         # (pre-emphasis + the boundary mask run inside the kernel)
         feat = pallas_log_mel(signals.astype(jnp.float32), lengths,
                               max(t_out, n), cfg=cfg, interpret=interpret)
-        feats = jax.vmap(cmvn)(feat, valid)
+        feats = pallas_cmvn(feat, valid, interpret=interpret)
         if t_out <= feat.shape[1]:
             feats = feats[:, :t_out]
         valid_c = jnp.minimum(valid, t_out)

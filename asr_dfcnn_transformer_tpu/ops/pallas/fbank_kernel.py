@@ -113,7 +113,7 @@ def _kernel(lens_ref, sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf,
     row_g = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 0) \
         + (i * tile - 1)                                # global signal row
     samp_idx = row_g * HOP + lane
-    slen = lens_ref[0, 0]
+    slen = lens_ref[b]                                  # [B] SMEM scalar
     pe = jnp.where((lane < HOP) & (samp_idx < slen) & (samp_idx >= 0),
                    pe, 0.0)
 
@@ -143,6 +143,54 @@ def _kernel(lens_ref, sig_ref, cos_ref, sin_ref, mel_ref, out_ref, buf,
     power = (re * re + im * im) * (1.0 / nfft)
     feat = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log(jnp.maximum(feat, _EPS))
+
+
+def _cmvn_kernel(valid_ref, feat_ref, out_ref):
+    """Per-utterance CMVN entirely in VMEM: one HBM read + one write
+    (audio.fbank.cmvn semantics bit for bit — masked stats, std==0 -> 1,
+    sklearn's second centering, zeroed padding rows)."""
+    x = feat_ref[0]                                     # [T, F]
+    n = valid_ref[pl.program_id(0)]
+    mask = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            < n).astype(x.dtype)
+    cnt = jnp.maximum(n.astype(x.dtype), 1.0)
+    xm = x * mask
+    mean = jnp.sum(xm, axis=0, keepdims=True) / cnt
+    var = jnp.sum(((x - mean) ** 2) * mask, axis=0, keepdims=True) / cnt
+    std = jnp.sqrt(var)
+    std = jnp.where(std == 0.0, 1.0, std)
+    out = (x - mean) / std
+    mean2 = jnp.sum(out * mask, axis=0, keepdims=True) / cnt
+    out_ref[0] = (out - mean2) * mask
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_cmvn(feat: jnp.ndarray, valid: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """[B, T, F] features + [B] valid frame counts -> normalized [B, T, F].
+
+    Replaces ``jax.vmap(cmvn)`` in the Pallas fbank path: XLA lowers the
+    masked mean/var/normalize/re-center chain to multiple HBM passes over
+    the [B, T, F] tensor; here the whole utterance (<=1600x200 f32 =
+    1.25 MB) sits in VMEM for one read and one write.
+    """
+    b, t, f = feat.shape
+    return pl.pallas_call(
+        _cmvn_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # valid [B]
+            pl.BlockSpec((1, t, f), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, f), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, f), feat.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * t * f, bytes_accessed=2 * b * t * f * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), feat)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "out_frames", "interpret"))
@@ -206,8 +254,9 @@ def pallas_log_mel(signals: jnp.ndarray, lengths: jnp.ndarray,
         functools.partial(_kernel, preemph=float(cfg.preemph)),
         grid=(b, t_tiles),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda bi, ti: (bi, 0),
-                         memory_space=pltpu.VMEM),   # lengths (widened)
+            # per-utterance sample counts: scalars in SMEM, indexed by
+            # program id (a (1, 8) VMEM block violates the 8-sublane rule)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             # ANY-space inputs must be whole-array blocks; the kernel DMAs
             # the (batch, tile) slices itself via program_id
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -234,7 +283,6 @@ def pallas_log_mel(signals: jnp.ndarray, lengths: jnp.ndarray,
             transcendentals=b * t_all * cfg.nfilt,
         ),
         interpret=interpret,
-    )(jnp.broadcast_to(lengths.astype(jnp.int32)[:, None], (b, 8)),
-      sig_rows, jnp.asarray(cos_blocks), jnp.asarray(sin_blocks),
-      jnp.asarray(mel))
+    )(lengths.astype(jnp.int32), sig_rows, jnp.asarray(cos_blocks),
+      jnp.asarray(sin_blocks), jnp.asarray(mel))
     return out[:, :out_frames, :]

@@ -116,6 +116,13 @@ def _build_parser():
     sp.add_argument("--model", default="se_dfcnn",
                     choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
                              "se_dfcnn_fast", "keras_dfcnn", "bigru"])
+    sp.add_argument("--streaming", action="store_true",
+                    help="decode incrementally (IncrementalRecognizer): "
+                         "feed the wav in chunks, print a partial "
+                         "hypothesis per chunk, then the final — O(chunk) "
+                         "per push instead of re-decoding the buffer")
+    sp.add_argument("--chunk-seconds", type=float, default=1.28,
+                    help="streaming push size in seconds")
 
     sp = sub.add_parser(
         "export", help="export the trained AM back to the reference's "
@@ -599,7 +606,21 @@ def cmd_eval(args):
 
 def cmd_infer(args):
     pipe, _, _ = _load_pipeline(args, args.decode)
-    pinyin, hanzi = pipe.recognize_file(args.wav)
+    if getattr(args, "streaming", False):
+        from asr_dfcnn_transformer_tpu.audio.wav import read_wav
+        from asr_dfcnn_transformer_tpu.infer.streaming import (
+            IncrementalRecognizer)
+        sig, sr = read_wav(args.wav)
+        rec = IncrementalRecognizer(pipe)
+        step = max(1, int(args.chunk_seconds * sr))
+        for i in range(0, len(sig), step):
+            rec.push(sig[i: i + step])
+            pinyin, hanzi = rec.partial()
+            print(f"[{min(i + step, len(sig)) / sr:6.2f}s] "
+                  f"{' '.join(pinyin)} | {hanzi}", flush=True)
+        pinyin, hanzi = rec.finalize()
+    else:
+        pinyin, hanzi = pipe.recognize_file(args.wav)
     print("拼音:", " ".join(pinyin))
     print("汉字:", hanzi)
 

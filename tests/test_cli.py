@@ -39,6 +39,18 @@ def test_cli_infer(workdir, capsys):
     assert "拼音:" in out and "汉字:" in out
 
 
+def test_cli_infer_streaming(workdir, capsys):
+    """infer --streaming drives the IncrementalRecognizer end to end
+    (depends on the am/lm checkpoints from earlier tests)."""
+    wav = os.path.join(workdir, "synthetic", "wav", "test", "utt_0.wav")
+    cli.main(["infer", "--workdir", workdir, "--synthetic", "16", "--small",
+              "--batch-size", "8", "--wav", wav, "--streaming",
+              "--chunk-seconds", "0.5"])
+    out = capsys.readouterr().out
+    assert "拼音:" in out and "汉字:" in out
+    assert "[" in out      # at least one timed partial line
+
+
 def test_cli_atten_train(workdir):
     cli.main(["atten", "--workdir", workdir, "--synthetic", "16", "--small",
               "--epochs", "1", "--batch-size", "8", "--lr", "1e-3"])

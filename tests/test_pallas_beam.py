@@ -66,10 +66,10 @@ def test_beam_kernel_return_all_and_odd_batch():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_beam_kernel_fully_2d_multi_tile_block_matches_scan():
-    """batch_block > 8 switches to the fully-2-D merge (_merge_2d) and the
-    rank-based top-W; results must still match the scan backend exactly
-    (interpret mode — the Mosaic multi-tile compile is validated on TPU)."""
+def test_beam_kernel_transposed_matches_scan():
+    """batch_block > 8 routes to the transposed batch-on-lanes kernel
+    (_beam_kernel_t); results must still match the scan backend exactly
+    (interpret mode — the Mosaic compile is validated on TPU)."""
     import jax.numpy as jnp
 
     from asr_dfcnn_transformer_tpu.ops.pallas import beam_kernel
@@ -96,9 +96,9 @@ def test_beam_kernel_fully_2d_multi_tile_block_matches_scan():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_beam_kernel_fully_2d_exhausted_candidates():
-    """Tie-safety of the rank-based top-W when beam_width > live
-    candidates (the fully-2-D analog of the pick-loop regression)."""
+def test_beam_kernel_transposed_exhausted_candidates():
+    """Tie-safety of the transposed kernel's rank-based top-W when
+    beam_width > live candidates (pick-loop regression analog)."""
     import jax
     import jax.numpy as jnp
 
