@@ -109,7 +109,8 @@ class IncrementalRecognizer:
                  halo_frames: int = 64, frame_group: int = 128,
                  cmvn: str = "running",
                  global_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                 max_logits: int = 200):
+                 max_logits: int = 200, decode: Optional[str] = None,
+                 beam_width: Optional[int] = None):
         import jax
         import jax.numpy as jnp
 
@@ -122,6 +123,13 @@ class IncrementalRecognizer:
         if cmvn == "global" and global_stats is None:
             raise ValueError("cmvn='global' needs global_stats=(mean, std)")
         self.pipeline = pipeline
+        # beam: carry prefix-beam state across chunks
+        # (ops.ctc_beam_search_stream_step) — token-equal to the offline
+        # scan-backend beam decode; greedy: stateful argmax collapse
+        self.decode = decode if decode is not None else pipeline.decode
+        if self.decode not in ("greedy", "beam"):
+            raise ValueError(f"unknown decode {self.decode!r}")
+        self.beam_width = beam_width or pipeline.beam_width
         self.cfg = pipeline.fbank_cfg
         self.nfilt = self.cfg.nfilt
         self.chunk_logits = chunk_logits
@@ -158,6 +166,18 @@ class IncrementalRecognizer:
             sel = logits[0, q0: q0 + self.chunk_logits]
             return jnp.argmax(sel, axis=-1).astype(jnp.int32)
 
+        @jax.jit
+        def am_chunk_lp(window):
+            # window -> [1, CL, V] log-probs for the streaming beam
+            logits = self.pipeline.am_model.apply(
+                self.pipeline.am_variables, window[None, :, :, None],
+                train=False)
+            q0 = self.halo // 8
+            sel = logits[:, q0: q0 + self.chunk_logits]
+            return jax.nn.log_softmax(sel.astype(jnp.float32), axis=-1)
+
+        self._am_chunk_lp_fn = am_chunk_lp
+
         lm_cap = self.pipeline.lm_max_len
 
         @jax.jit
@@ -189,6 +209,11 @@ class IncrementalRecognizer:
         self._logits_done = 0
         self._ids: List[int] = []
         self._carry_id = -1                          # previous frame's argmax
+        if self.decode == "beam":
+            from asr_dfcnn_transformer_tpu.ops import (
+                ctc_beam_search_stream_init)
+            self._beam_state = ctc_beam_search_stream_init(
+                1, self.beam_width, self._lm_cap)
 
     # -- internals -----------------------------------------------------
 
@@ -262,8 +287,17 @@ class IncrementalRecognizer:
                 n_new = min(cl, total - self._logits_done)
                 if n_new <= 0:
                     break
-            ids = np.asarray(self._am_chunk_fn(
-                self._window(8 * self._logits_done - self.halo)))[:n_new]
+            window = self._window(8 * self._logits_done - self.halo)
+            if self.decode == "beam":
+                from asr_dfcnn_transformer_tpu.ops import (
+                    ctc_beam_search_stream_step)
+                lp = self._am_chunk_lp_fn(window)[:, :n_new]
+                self._beam_state = ctc_beam_search_stream_step(
+                    self._beam_state, lp, beam_width=self.beam_width,
+                    topk=self.beam_width, blank_id=-1)
+                self._logits_done += n_new
+                continue
+            ids = np.asarray(self._am_chunk_fn(window))[:n_new]
             self._logits_done += n_new
             # blank = vocab - 1 (reference convention, acoustic_model.py:76)
             blank = self.pipeline.am_model.vocab_size - 1
@@ -294,22 +328,28 @@ class IncrementalRecognizer:
 
     @property
     def pinyin_ids(self) -> List[int]:
+        if self.decode == "beam":
+            from asr_dfcnn_transformer_tpu.ops import (
+                ctc_beam_search_stream_best)
+            ids, lns, _ = ctc_beam_search_stream_best(self._beam_state)
+            return [int(x) for x in np.asarray(ids[0][: int(lns[0])])]
         return list(self._ids)
 
-    def _lm_decode(self) -> str:
-        if self.pipeline.lm_model is None or not self._ids \
+    def _lm_decode(self, cur: List[int]) -> str:
+        if self.pipeline.lm_model is None or not cur \
                 or self.pipeline.lv is None:
             return ""
         cap = self._lm_cap
         ids = np.zeros((cap,), np.int32)
-        n = min(len(self._ids), cap)
-        ids[:n] = self._ids[:n]
+        n = min(len(cur), cap)
+        ids[:n] = cur[:n]
         han = np.asarray(self._lm_prefix_fn(ids, n))[:n]
         return "".join(self.pipeline.lv.decode(list(han)))
 
     def partial(self) -> Tuple[List[str], str]:
         """Current hypothesis; costs one LM pass over the prefix."""
-        return self.pipeline.av.decode(self._ids), self._lm_decode()
+        cur = self.pinyin_ids
+        return self.pipeline.av.decode(cur), self._lm_decode(cur)
 
     def finalize(self) -> Tuple[List[str], str]:
         """Flush tail frames/logits and return the final hypothesis."""

@@ -136,7 +136,24 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
             interpret=jax.default_backend() != "tpu")
         return _beam_finish(prefixes, plen, pb, pnb, lcap, return_all)
 
-    # Beam state (per batch): prefixes, lengths, rolling hashes, pb/pnb.
+    state0 = _beam_state_init(b, w, lcap)
+    step = _make_beam_step(b, w, k, lcap, blank, logit_lengths)
+
+    # pre-compute per-step quantities once (vectorized over T) and feed the
+    # scan through xs — no dynamic slicing of [B, T, V] inside the loop
+    top_lp_all, top_ids_all = jax.lax.top_k(lp_all, k)      # [B, T, K]
+    lp_blank_all = lp_all[:, :, blank]                      # [B, T]
+    xs = (jnp.moveaxis(lp_all, 1, 0),
+          jnp.moveaxis(top_lp_all, 1, 0),
+          jnp.moveaxis(top_ids_all, 1, 0),
+          jnp.moveaxis(lp_blank_all, 1, 0),
+          jnp.arange(t))
+    (prefixes, plen, _, _, pb, pnb), _ = jax.lax.scan(step, state0, xs)
+    return _beam_finish(prefixes, plen, pb, pnb, lcap, return_all)
+
+
+def _beam_state_init(b: int, w: int, lcap: int):
+    """Fresh beam state: prefixes, lengths, rolling hashes, pb/pnb."""
     prefixes0 = jnp.zeros((b, w, lcap), jnp.int32)
     plen0 = jnp.zeros((b, w), jnp.int32)
     pb0 = jnp.full((b, w), _NEG_INF).at[:, 0].set(0.0)  # only beam 0 is live
@@ -144,16 +161,22 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
     # beam 0 is the (real) empty prefix with hash 0; dead beams get unique
     # sentinel hashes so they never merge with live prefixes
     sent = jnp.arange(w, dtype=jnp.uint32)
-    h10 = jnp.where(sent == 0, 0, sent + jnp.uint32(0x7fffffff))[None, :].repeat(b, 0)
-    h20 = jnp.where(sent == 0, 0, sent + jnp.uint32(0x1fffffff))[None, :].repeat(b, 0)
+    h10 = jnp.where(sent == 0, 0,
+                    sent + jnp.uint32(0x7fffffff))[None, :].repeat(b, 0)
+    h20 = jnp.where(sent == 0, 0,
+                    sent + jnp.uint32(0x1fffffff))[None, :].repeat(b, 0)
+    return (prefixes0, plen0, h10, h20, pb0, pnb0)
 
+
+def _make_beam_step(b, w, k, lcap, blank, logit_lengths=None):
+    """One prefix-beam-search frame as a lax.scan step function.
+
+    ``logit_lengths``: per-item valid frame counts for the freeze rule;
+    None = every fed frame is valid (the streaming chunked driver feeds
+    only real frames)."""
+    m = w * (k + 1)
     mul1 = jnp.uint32(2654435761)
     mul2 = jnp.uint32(40503)
-
-    # pre-compute per-step quantities once (vectorized over T) and feed the
-    # scan through xs — no dynamic slicing of [B, T, V] inside the loop
-    top_lp_all, top_ids_all = jax.lax.top_k(lp_all, k)      # [B, T, K]
-    lp_blank_all = lp_all[:, :, blank]                      # [B, T]
 
     def step(state, xs):
         prefixes, plen, h1, h2, pb, pnb = state
@@ -248,6 +271,9 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
             (new_add[..., None] >= 0) & onehot,
             new_add[..., None], src_prefix)
 
+        if logit_lengths is None:
+            return (new_prefixes, new_len, new_h1, new_h2,
+                    new_pb, new_pnb), None
         # freeze finished items
         active = (t_idx < logit_lengths)[:, None]
         f = lambda new, old: jnp.where(active, new, old)
@@ -256,14 +282,55 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
                 f(new_h1, h1), f(new_h2, h2),
                 f(new_pb, pb), f(new_pnb, pnb)), None
 
-    state0 = (prefixes0, plen0, h10, h20, pb0, pnb0)
-    xs = (jnp.moveaxis(lp_all, 1, 0),
-          jnp.moveaxis(top_lp_all, 1, 0),
-          jnp.moveaxis(top_ids_all, 1, 0),
-          jnp.moveaxis(lp_blank_all, 1, 0),
-          jnp.arange(t))
-    (prefixes, plen, _, _, pb, pnb), _ = jax.lax.scan(step, state0, xs)
-    return _beam_finish(prefixes, plen, pb, pnb, lcap, return_all)
+    return step
+
+
+def ctc_beam_search_stream_init(batch: int, beam_width: int = 8,
+                                max_decode_len: int = 64):
+    """Fresh carry state for :func:`ctc_beam_search_stream_step`."""
+    return _beam_state_init(batch, beam_width, max_decode_len)
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "topk",
+                                             "blank_id"))
+def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
+                                beam_width: int = 8, topk: int = 8,
+                                blank_id: int = -1):
+    """Advance the prefix beam search over a chunk of frames.
+
+    The stateful (incremental) form of :func:`ctc_beam_search_decode`'s
+    scan backend: feeding the same frames in any chunking yields exactly
+    the offline result — the scan recurrence is sequential either way.
+    Used by ``infer.streaming.IncrementalRecognizer(decode='beam')``.
+
+    Args:
+      state: from :func:`ctc_beam_search_stream_init` (batch, W, Lcap
+        are baked into its shapes).
+      log_probs: [B, Tc, V] already-normalized log-probs for the NEW
+        frames only (every fed frame is treated as valid).
+    Returns: the advanced state. Read results with
+      :func:`ctc_beam_search_stream_best`.
+    """
+    b, tc, v = log_probs.shape
+    w = state[0].shape[1]
+    lcap = state[0].shape[2]
+    blank = blank_id % v
+    k = min(topk, v)
+    step = _make_beam_step(b, w, k, lcap, blank, logit_lengths=None)
+    lp = log_probs.astype(jnp.float32)
+    top_lp, top_ids = jax.lax.top_k(lp, k)
+    xs = (jnp.moveaxis(lp, 1, 0), jnp.moveaxis(top_lp, 1, 0),
+          jnp.moveaxis(top_ids, 1, 0), jnp.moveaxis(lp[:, :, blank], 1, 0),
+          jnp.arange(tc))
+    new_state, _ = jax.lax.scan(step, state, xs)
+    del beam_width  # shape-derived; kept for call-site clarity
+    return new_state
+
+
+def ctc_beam_search_stream_best(state):
+    """(ids [B, Lcap], lengths [B], neg_log_prob [B]) of the best beam."""
+    prefixes, plen, _, _, pb, pnb = state
+    return _beam_finish(prefixes, plen, pb, pnb, prefixes.shape[2], False)
 
 
 def _beam_finish(prefixes, plen, pb, pnb, lcap, return_all):

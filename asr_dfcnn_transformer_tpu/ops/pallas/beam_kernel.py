@@ -10,12 +10,19 @@ inside one Pallas program per batch block with every piece of state in
 VMEM; the only HBM traffic is the per-frame log-prob row (double-buffered
 manual DMA, overlapped with compute) and the tiny per-frame top-K tables.
 
+Two layouts of the same algorithm:
+- **row-major** (``_beam_kernel``): batch on sublanes, bb=8 per grid
+  step — minimal padding, used for small batches;
+- **transposed** (``_beam_kernel_t``): batch on the LANE axis, 128
+  utterances per vreg — the throughput layout; also the only multi-tile
+  layout Mosaic accepts (see the notes in _batch_block / _beam_kernel_t).
+
 Semantics are IDENTICAL to ops/ctc_decode.py:ctc_beam_search_decode
-(same candidate layout, same double-rolling-hash merge, same masked
-logsumexp, same first-occurrence rule, same freeze-past-length) — tested
-equal in interpreter mode and on TPU. Replaces the per-utterance
-fresh-session ``K.ctc_decode`` of the reference (util/utils.py:57-66)
-at batch scale.
+(same candidate order, same double-rolling-hash merge, same masked
+logsumexp, same first-occurrence rule, same top-k tie order, same
+freeze-past-length) — tested equal in interpreter mode and on TPU.
+Replaces the per-utterance fresh-session ``K.ctc_decode`` of the
+reference (util/utils.py:57-66) at batch scale.
 """
 
 from __future__ import annotations
@@ -510,19 +517,22 @@ def _beam_search_transposed(lp_all, top_lp_all, top_ids_all, logit_lengths,
 
 
 def _batch_block(b: int) -> int:
-    # 8 = one sublane tile; the caller pads the batch to a multiple of 8
-    # (smaller blocks would put the manual lp DMA's batch offset at a
-    # non-8-multiple sublane, which Mosaic's async-copy rules reject).
-    # Larger blocks would amortize per-step loop overhead ~BB/8x (state
-    # ops on [8, W] use 1/16 of each vreg), but any multi-tile batch
-    # block (16/32/128) SIGABRTs Mosaic's layout inference on this
-    # toolchain. Round-2 bisect: the duplicate-merge's [BB, M, M]
-    # broadcast-transposes (`x[:, None, :]` lane->sublane) are one
-    # trigger — rewritable as an M-iteration loop of 2D ops — but a
-    # second trigger remains somewhere in the pick/rebuild stages
-    # (pick-without-merge also aborts while the same pattern isolated in a
-    # micro-kernel compiles), so the rewrite is deferred until the
-    # compiler moves or the second trigger is isolated.
+    # Row-major kernel block: 8 = one sublane tile; the caller pads the
+    # batch to a multiple of 8 (smaller blocks would put the manual lp
+    # DMA's batch offset at a non-8-multiple sublane, which Mosaic's
+    # async-copy rules reject). Multi-tile batch blocks in THIS layout
+    # are a dead end — round-3 bisect findings, kept for the record:
+    #  1. the rep_lp one-hot gather's [BB, W, V] reduce runs over a
+    #     broadcast dim whose layout has nonzero offsets
+    #     ("shape_invariant_numerics ... input layout must have zero
+    #     offsets over dimensions that are being reduced") — fixed by a
+    #     W-loop of 2-D lane reductions;
+    #  2. with that fixed, the candidate build's narrow lane-segment
+    #     broadcasts/concats ([BB,1] -> [BB,K] -> lane concat) SIGABRT
+    #     layout inference for every bb > 8.
+    # Batches worth blocking bigger use the transposed batch-on-lanes
+    # kernel instead (_beam_kernel_t), whose row-axis versions of those
+    # same shapes are fine — and which uses full vregs (128 lanes) per op.
     del b
     return 8
 

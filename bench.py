@@ -92,14 +92,21 @@ def _cost(compiled):
 
 
 def _cost_delta(clo, chi, iters):
-    """Per-iteration flops / bytes by the same slope trick as the timing:
-    (hi-trip cost - lo-trip cost) / extra trips, so one-time setup work in
-    the program cancels exactly like the fixed request cost does."""
+    """Per-iteration flops / bytes from XLA cost analysis.
+
+    XLA counts a ``while`` body ONCE regardless of trip count, so for the
+    scanned timing programs the lo/hi costs are ~equal and the body cost
+    IS the per-iteration cost; if the loop got unrolled instead, the
+    hi-lo slope divides it out (same trick as the timing)."""
     out = {}
     for key, name in (("flops", "flops"), ("bytes accessed", "bytes")):
         a, b = clo.get(key), chi.get(key)
-        if a is not None and b is not None and b >= a:
-            out[name] = (b - a) / iters
+        if a is None:
+            continue
+        if b is not None and (b - a) > 0.01 * max(a, 1.0):
+            out[name] = (b - a) / iters          # unrolled: slope it out
+        else:
+            out[name] = a                        # while body counted once
     return out
 
 

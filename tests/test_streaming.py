@@ -39,7 +39,8 @@ class TinyConvCTC(nn.Module):
         return nn.Dense(self.vocab_size, dtype=jnp.float32)(x)
 
 
-def _make_pipeline(with_lm=False, nfilt=40, vocab=32, seed=0):
+def _make_pipeline(with_lm=False, nfilt=40, vocab=32, seed=0,
+                   decode="greedy"):
     am = TinyConvCTC(vocab_size=vocab)
     am_vars = am.init(jax.random.PRNGKey(seed),
                       np.zeros((1, 64, nfilt, 1), np.float32), train=False)
@@ -56,7 +57,7 @@ def _make_pipeline(with_lm=False, nfilt=40, vocab=32, seed=0):
                     acoustic_vocab=vocab_mod.acoustic_vocab(),
                     language_vocab=vocab_mod.language_vocab()
                     if with_lm else None,
-                    feature_dim=nfilt, decode="greedy")
+                    feature_dim=nfilt, decode=decode)
 
 
 def _signal(seconds=2.7, seed=3):
@@ -99,6 +100,29 @@ def test_incremental_equals_offline_with_global_stats():
     off_pinyin, _ = pipe.recognize_signal(sig)
     assert pinyin == off_pinyin, (pinyin, off_pinyin)
     assert len(pinyin) > 0          # decode produced something non-trivial
+
+
+def test_incremental_beam_equals_offline_with_global_stats():
+    """decode='beam' carries prefix-beam state across chunks
+    (ops.ctc_beam_search_stream_step); the final hypothesis must equal the
+    offline beam pipeline exactly."""
+    pipe = _make_pipeline(decode="beam")
+    sig = _signal(seconds=2.3, seed=13)
+    stats = _exact_global_stats(sig, 40)
+    rec = IncrementalRecognizer(pipe, chunk_logits=8, halo_frames=64,
+                                frame_group=64, cmvn="global",
+                                global_stats=stats)
+    assert rec.decode == "beam"      # inherited from the pipeline
+    i = 0
+    rng = np.random.default_rng(23)
+    while i < len(sig):
+        step = int(rng.integers(211, 4801))
+        rec.push(sig[i: i + step])
+        i += step
+    pinyin, _ = rec.finalize()
+    off_pinyin, _ = pipe.recognize_signal(sig)
+    assert pinyin == off_pinyin, (pinyin, off_pinyin)
+    assert len(pinyin) > 0
 
 
 def test_incremental_chunk_size_invariance_running_cmvn():
