@@ -41,6 +41,8 @@ TPU backend, both defeated):
 """
 
 import json
+import math
+import os
 import sys
 import time
 
@@ -52,6 +54,66 @@ ACOUSTIC_VOCAB, LANGUAGE_VOCAB = 1536, 6345
 UTT_SECONDS = 16.0
 _LO = 10                       # base trip count for slope timing
 _SALT = time.time_ns() % (1 << 31)   # per-process input salt (see header)
+
+
+_EMIT_LIMIT = 1800   # the driver records only the last ~2000 chars of
+# output; round 3's final JSON line outgrew that and was never parsed
+# (BENCH_r03.json "parsed": null). The stdout line must stay under this.
+
+
+def _sanitize(obj):
+    """Strict-JSON safety: numpy scalars -> Python, non-finite -> None.
+
+    ``json.dumps`` happily emits ``NaN``/``Infinity`` which strict parsers
+    reject — one bad roofline ratio must not cost the round's record."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        obj = obj.item()
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
+
+
+def _compact_suite(suite):
+    """Per-config summary small enough for the single stdout line; the
+    full per-config detail lives in BENCH_FULL.json."""
+    comp = {}
+    for name, r in suite.items():
+        if "error" in r:
+            comp[name] = {"error": str(r["error"])[:60]}
+            continue
+        e = {}
+        for k in ("utts_per_sec", "latency_ms", "chunk_ms", "mfu_pct",
+                  "pct_of_roof"):
+            if r.get(k) is not None:
+                e[k] = r[k]
+        comp[name] = e
+    return comp
+
+
+def _strict_line(record):
+    """Serialize the headline record to ONE parseable line, shrinking the
+    suite summary if needed, and self-validate by strict re-parse."""
+    record = _sanitize(record)
+    line = json.dumps(record, separators=(",", ":"), allow_nan=False)
+    if len(line) > _EMIT_LIMIT:   # degrade suite to bare primary numbers
+        record["extra"]["suite"] = {
+            n: (e.get("utts_per_sec") or e.get("latency_ms")
+                or e.get("chunk_ms") or e.get("error"))
+            for n, e in record["extra"]["suite"].items()}
+        line = json.dumps(record, separators=(",", ":"), allow_nan=False)
+    if len(line) > _EMIT_LIMIT:
+        record["extra"].pop("suite", None)
+        line = json.dumps(record, separators=(",", ":"), allow_nan=False)
+    parsed = json.loads(line)     # strict round-trip: fail loudly here,
+    # not silently in the driver
+    if not (isinstance(parsed.get("value"), (int, float))
+            and "\n" not in line and len(line) <= _EMIT_LIMIT):
+        raise RuntimeError(f"bench emit self-check failed ({len(line)}B)")
+    return line
 
 
 def _signals(batch, seed=None):
@@ -110,11 +172,32 @@ def _cost_delta(clo, chi, iters):
     return out
 
 
-def _roofline(dt, cost):
-    """MFU / bandwidth / bound verdict for one config (VERDICT r2 #3):
-    achieved TFLOP/s and HBM GB/s from XLA's own per-program counts, MFU
-    vs the chip's published bf16 peak, and which roof the program sits
-    under (``roof_ms`` = the speed-of-light time for its flop/byte mix)."""
+def _tree_bytes(*trees):
+    """Total array bytes across pytrees (device or numpy leaves)."""
+    import jax
+    return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+               for t in trees for x in jax.tree.leaves(t)
+               if hasattr(x, "shape"))
+
+
+def _roofline(dt, cost, min_bytes=0):
+    """MFU / roofline verdict for one config (VERDICT r2 #3, fixed r4).
+
+    Round-3 postmortem (VERDICT r3 #2): XLA's ``bytes accessed`` counter
+    over-counts large fused programs — the LM train step was charged
+    23 GB/step where physics allows at most ~12 GB in its measured
+    14.15 ms (and XLA's own ``optimal_seconds`` goes negative) — which
+    pushed ``pct_of_roof`` past 100%. Its ``flops`` counter, by contrast,
+    was verified exact (matches the analytic 3x2xparamsxtokens count for
+    the LM, and ``--calibrate`` pins a bare matmul at ~96% MFU).
+
+    So the roof here uses only trustworthy inputs: ``t_compute`` from
+    XLA's flop count vs the published bf16 peak, and ``t_hbm`` from
+    ``min_bytes`` — the *mandatory* per-iteration HBM traffic (weights +
+    inputs, 2x optimizer state for train steps), computed analytically by
+    each config. Both are true lower bounds, so ``roof_ms <= dt`` and
+    ``pct_of_roof <= 100`` by construction. XLA's raw byte count is kept
+    as ``xla_bytes_gb`` for reference only."""
     out = {}
     fl, by = cost.get("flops"), cost.get("bytes")
     peak, bw = _peaks()
@@ -124,17 +207,19 @@ def _roofline(dt, cost):
         if peak:
             out["mfu_pct"] = round(100.0 * fl / dt / 1e12 / peak, 1)
     if by:
-        out["hbm_gbps"] = round(by / dt / 1e9, 1)
-    if fl and by and peak and bw:
+        out["xla_bytes_gb"] = round(by / 1e9, 3)   # over-counts; see above
+    if min_bytes and bw:
+        out["hbm_gbps_lb"] = round(min_bytes / dt / 1e9, 1)
+    if fl and peak and bw:
         t_compute = fl / (peak * 1e12)
-        t_hbm = by / (bw * 1e9)
+        t_hbm = min_bytes / (bw * 1e9)
         out["bound"] = "compute" if t_compute >= t_hbm else "hbm"
         out["roof_ms"] = round(1000.0 * max(t_compute, t_hbm), 3)
         out["pct_of_roof"] = round(100.0 * max(t_compute, t_hbm) / dt, 1)
     return out
 
 
-def _scan_time(body, x, iters=100):
+def _scan_time(body, x, iters=100, min_bytes=0):
     """(seconds/iteration, roofline dict) of ``body(x + carry, i)`` by
     slope timing: two jitted scans (_LO and _LO+iters trips); the
     difference cancels the backend's fixed per-request cost. Each
@@ -172,7 +257,8 @@ def _scan_time(body, x, iters=100):
     float(fhi(x))
     t2 = time.perf_counter()
     dt = ((t2 - t1) - (t1 - t0)) / iters
-    return dt, _roofline(dt, _cost_delta(_cost(flo), _cost(fhi), iters))
+    return dt, _roofline(dt, _cost_delta(_cost(flo), _cost(fhi), iters),
+                         min_bytes=min_bytes)
 
 
 class _Models:
@@ -239,13 +325,14 @@ def _pipeline_fn(m, am, am_vars, decode="greedy", beam_width=8,
 def bench_am_lm(m, batch, am=None, am_vars=None, decode="greedy",
                 noise=False, iters=100):
     import jax
-    fwd = _pipeline_fn(m, am or m.am, am_vars or m.am_vars, decode=decode,
-                       noise=noise)
+    am_vars = am_vars or m.am_vars
+    fwd = _pipeline_fn(m, am or m.am, am_vars, decode=decode, noise=noise)
     sig, lens = _signals(batch)
     key = jax.random.PRNGKey(_SALT)
     dt, roof = _scan_time(
         lambda z, i: fwd(z, lens, jax.random.fold_in(key, i)), sig,
-        iters=iters)
+        iters=iters,
+        min_bytes=_tree_bytes(am_vars, m.lm_vars) + sig.nbytes)
     return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
             "rtfx": round(UTT_SECONDS * batch / dt, 1), **roof}
@@ -269,7 +356,8 @@ def bench_single_utt(m):
                                  max_output_len=64)
 
     sig, lens = _signals(1)
-    dt, roof = _scan_time(lambda z, i: forward(z, lens), sig, iters=400)
+    dt, roof = _scan_time(lambda z, i: forward(z, lens), sig, iters=400,
+                          min_bytes=_tree_bytes(m.am_vars) + sig.nbytes)
     return {"latency_ms": round(1000 * dt, 2),
             "rtfx": round(UTT_SECONDS / dt, 1), **roof}
 
@@ -285,7 +373,8 @@ def bench_lm_only(m, batch=128, seq_len=64):
     rs = np.random.default_rng(_SALT)
     ids = jax.device_put(
         rs.integers(3, ACOUSTIC_VOCAB - 1, (batch, seq_len)).astype(np.int32))
-    dt, roof = _scan_time(lambda z, i: forward(z), ids, iters=400)
+    dt, roof = _scan_time(lambda z, i: forward(z), ids, iters=400,
+                          min_bytes=_tree_bytes(m.lm_vars) + ids.nbytes)
     return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2), **roof}
 
@@ -308,7 +397,8 @@ def bench_streaming_chunk(m, chunk_logits=16, halo=64):
     rs = np.random.default_rng(_SALT)
     wnd = jax.device_put(rs.standard_normal((1, win, 200))
                          .astype(np.float32))
-    dt_am, roof = _scan_time(lambda z, i: am_chunk(z), wnd, iters=200)
+    dt_am, roof = _scan_time(lambda z, i: am_chunk(z), wnd, iters=200,
+                             min_bytes=_tree_bytes(m.am_vars) + wnd.nbytes)
 
     from asr_dfcnn_transformer_tpu.audio import fbank as fb
     group = 8 * chunk_logits
@@ -326,10 +416,14 @@ def bench_streaming_chunk(m, chunk_logits=16, halo=64):
             "rtfx": round(chunk_audio_s / total, 1), **roof}
 
 
-def _train_scan_time(step_fn, state, steps):
+def _train_scan_time(step_fn, state, steps, extra_bytes=0):
     """Slope timing for a training step: two AOT-compiled scans of the
     step (_LO and _LO+steps trips) from the same initial state, each run
-    once cold (same defenses as _scan_time). Returns (dt, roofline)."""
+    once cold (same defenses as _scan_time). Returns (dt, roofline).
+
+    Mandatory per-step traffic for the roof: the optimizer must read and
+    write every param + moment (2x the state tree) plus read the batch
+    (``extra_bytes``)."""
     import jax
     import jax.numpy as jnp
 
@@ -352,7 +446,8 @@ def _train_scan_time(step_fn, state, steps):
     np.asarray(mhi(state, khi))
     t2 = time.perf_counter()
     dt = ((t2 - t1) - (t1 - t0)) / steps
-    return dt, _roofline(dt, _cost_delta(_cost(mlo), _cost(mhi), steps))
+    return dt, _roofline(dt, _cost_delta(_cost(mlo), _cost(mhi), steps),
+                         min_bytes=2 * _tree_bytes(state) + extra_bytes)
 
 
 def bench_train(m, fast=False, batch=64, steps=40, model=None):
@@ -387,7 +482,8 @@ def bench_train(m, fast=False, batch=64, steps=40, model=None):
         st, metrics = tr._train_step(st, *dev, key, ab.bucket_frames)
         return st, metrics["loss"]
 
-    dt, roof = _train_scan_time(step_fn, tr.state, steps)
+    dt, roof = _train_scan_time(step_fn, tr.state, steps,
+                                extra_bytes=_tree_bytes(dev))
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
             "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1),
@@ -418,7 +514,8 @@ def bench_train_lm(m, batch=64, seq_len=64, steps=100):
         st, metrics = tr._train_step(st, *dev, key)
         return st, metrics["loss"]
 
-    dt, roof = _train_scan_time(step_fn, tr.state, steps)
+    dt, roof = _train_scan_time(step_fn, tr.state, steps,
+                                extra_bytes=_tree_bytes(dev))
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2), **roof}
 
@@ -456,7 +553,8 @@ def bench_train_e2e(m, batch=8, steps=60):
         st, metrics = tr._train_step(st, *dev, key, ab.bucket_frames)
         return st, metrics["loss"]
 
-    dt, roof = _train_scan_time(step_fn, tr.state, steps)
+    dt, roof = _train_scan_time(step_fn, tr.state, steps,
+                                extra_bytes=_tree_bytes(dev))
     return {"ms_per_step": round(1000 * dt, 2), "batch": batch,
             "utts_per_sec": round(batch / dt, 2),
             "audio_sec_per_sec": round(UTT_SECONDS * batch / dt, 1),
@@ -492,19 +590,24 @@ def main():
         a = jax.device_put(
             np.random.default_rng(_SALT).standard_normal(
                 (8192, 8192)).astype(np.float32)).astype(jnp.bfloat16)
-        t_mm, r_mm = _scan_time(lambda x, i: x @ x, a, iters=200)
+        t_mm, r_mm = _scan_time(lambda x, i: x @ x, a, iters=200,
+                                min_bytes=a.nbytes)
         big = jax.device_put(np.ones((19_660_800,), np.float32))
-        t_cp, r_cp = _scan_time(lambda x, i: x + 1.0, big, iters=200)
+        # the +1.0 output is consumed by the scan-carry reduce in the same
+        # fusion, so the body's true traffic is ONE read of the input
+        t_cp, r_cp = _scan_time(lambda x, i: x + 1.0, big, iters=200,
+                                min_bytes=big.nbytes)
         t_nop, _ = _scan_time(lambda x, i: x, jnp.zeros((8, 128)), iters=400)
-        print(json.dumps({
+        print(json.dumps(_sanitize({
             "matmul_8k3_bf16_ms": round(1e3 * t_mm, 3),
             "matmul_tflops": round(2 * 8192**3 / t_mm / 1e12, 1),
             "matmul_mfu_pct": r_mm.get("mfu_pct"),
+            "matmul_pct_of_roof": r_mm.get("pct_of_roof"),
             "copy_78MB_ms": round(1e3 * t_cp, 3),
-            "copy_GBps": round(2 * 78.6e-3 / t_cp, 1),
-            "copy_hbm_gbps_xla": r_cp.get("hbm_gbps"),
+            "copy_read_GBps": round(78.6e-3 / t_cp, 1),
+            "copy_pct_of_roof": r_cp.get("pct_of_roof"),
             "noop_us": round(1e6 * t_nop, 2),
-        }, ), flush=True)
+        }), allow_nan=False), flush=True)
         return
 
     m = _Models()
@@ -513,23 +616,38 @@ def main():
     def want(name):
         return only is None or only == name
 
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+
+    def write_full():
+        """Full per-config detail, updated after every config so even a
+        time-capped run leaves a complete record on disk."""
+        try:
+            with open(full_path, "w") as f:
+                json.dump(_sanitize({"device": str(jax.devices()[0]),
+                                     "batch": batch, "suite": suite}),
+                          f, indent=1, allow_nan=False)
+        except Exception as e:  # noqa: BLE001 — the stdout line still emits
+            print(f"# BENCH_FULL.json write failed: {e}", file=sys.stderr)
+
     def emit():
-        """Print the (current) result line. Called once mid-suite and once
-        at the end so that even a time-capped run leaves a complete JSON
-        record as its last stdout line."""
+        """Print THE result line — exactly one JSON line on stdout, compact
+        enough for the driver's ~2000-char tail capture, strictly
+        parseable (allow_nan=False + self re-parse in _strict_line)."""
         head = suite.get("am_lm_b128", {})
         if "utts_per_sec" not in head:   # headline errored: first good one
             head = next((v for v in suite.values()
                          if "utts_per_sec" in v), {})
         utts = head.get("utts_per_sec", 0.0)
-        print(json.dumps({
+        print(_strict_line({
             "metric": "am_lm_inference_utts_per_sec_per_chip",
             "value": utts,
             "unit": "utterances/sec/chip (worst-case 16s utts, batch %d)"
                     % batch,
             "vs_baseline": round(utts / 1000.0, 3),
             "extra": {"device": str(jax.devices()[0]),
-                      "suite": suite},
+                      "suite": _compact_suite(suite),
+                      "full": "BENCH_FULL.json"},
         }), flush=True)
 
     def run(name, fn, retries=1):
@@ -544,12 +662,16 @@ def main():
         for attempt in range(retries + 1):
             try:
                 suite[name] = fn()
+                print(f"# {name}: {json.dumps(_sanitize(suite[name]))}",
+                      file=sys.stderr, flush=True)
+                write_full()
                 return
             except Exception as e:  # noqa: BLE001 — record and continue
                 err = f"{type(e).__name__}: {e}"
                 print(f"# {name} attempt {attempt + 1} failed: "
                       f"{err[:300]}", file=sys.stderr, flush=True)
         suite[name] = {"error": err[:500]}
+        write_full()
 
     run("am_lm_b128", lambda: bench_am_lm(m, batch))
     run("single_utt_greedy", lambda: bench_single_utt(m))
@@ -557,8 +679,6 @@ def main():
     run("lm_only", lambda: bench_lm_only(m))
     run("beam_noise_pipeline", lambda: bench_am_lm(m, batch, decode="beam",
                                                    noise=True, iters=50))
-    if only is None and suite:
-        emit()  # checkpoint: the five BASELINE configs are in
     run("streaming_chunk", lambda: bench_streaming_chunk(m))
     run("am_lm_fast_b128", lambda: bench_am_lm(m, batch, am=m.fast,
                                                am_vars=m.fast_vars))

@@ -39,24 +39,93 @@ def test_cost_delta_missing_keys():
 
 def test_roofline_verdicts():
     # 1e12 flops at peak 100 TFLOP/s -> 10 ms compute roof;
-    # 1e9 bytes at 800 GB/s -> 1.25 ms hbm roof -> compute-bound
+    # 1e9 mandatory bytes at 800 GB/s -> 1.25 ms hbm roof -> compute-bound
     import unittest.mock as mock
     with mock.patch.object(bench, "_peaks", return_value=(100.0, 800.0)):
-        out = bench._roofline(0.02, {"flops": 1e12, "bytes": 1e9})
+        out = bench._roofline(0.02, {"flops": 1e12, "bytes": 9e9},
+                              min_bytes=1e9)
     assert out["bound"] == "compute"
     assert abs(out["roof_ms"] - 10.0) < 1e-6
     assert abs(out["mfu_pct"] - 50.0) < 1e-6       # 50 of 100 TFLOP/s
     assert abs(out["achieved_tflops"] - 50.0) < 1e-6
-    assert abs(out["hbm_gbps"] - 50.0) < 1e-6
+    # XLA's (over-counting) byte tally is informational only
+    assert abs(out["xla_bytes_gb"] - 9.0) < 1e-6
+    assert abs(out["hbm_gbps_lb"] - 50.0) < 1e-6
     assert abs(out["pct_of_roof"] - 50.0) < 1e-6
     with mock.patch.object(bench, "_peaks", return_value=(100.0, 800.0)):
-        out = bench._roofline(0.02, {"flops": 1e11, "bytes": 1e10})
+        out = bench._roofline(0.02, {"flops": 1e11}, min_bytes=1e10)
     assert out["bound"] == "hbm"
+    assert abs(out["roof_ms"] - 12.5) < 1e-6
+
+
+def test_roofline_inflated_xla_bytes_cannot_beat_the_roof():
+    # round-3 bug class: XLA claimed 23 GB/step for a 14 ms program, which
+    # drove pct_of_roof to 198%. With the roof built from mandatory
+    # traffic, pct_of_roof <= 100 no matter what XLA's byte tally says.
+    import unittest.mock as mock
+    with mock.patch.object(bench, "_peaks", return_value=(197.0, 819.0)):
+        out = bench._roofline(0.01415, {"flops": 1.0528e12,
+                                        "bytes": 2.2984e10},
+                              min_bytes=2 * 502.8e6)
+    assert out["pct_of_roof"] <= 100.0
+    assert out["roof_ms"] <= 14.15 + 1e-6
 
 
 def test_roofline_without_peaks():
     import unittest.mock as mock
     with mock.patch.object(bench, "_peaks", return_value=(None, None)):
-        out = bench._roofline(0.01, {"flops": 1e12, "bytes": 1e9})
+        out = bench._roofline(0.01, {"flops": 1e12, "bytes": 1e9},
+                              min_bytes=1e9)
     assert "mfu_pct" not in out and "bound" not in out
     assert out["achieved_tflops"] == 100.0
+
+
+def test_sanitize_strips_non_finite_and_numpy():
+    import numpy as np
+    out = bench._sanitize({"a": float("nan"), "b": float("inf"),
+                           "c": np.float32(1.5), "d": [np.int64(3),
+                                                       float("-inf")]})
+    assert out == {"a": None, "b": None, "c": 1.5, "d": [3, None]}
+
+
+def test_strict_line_fits_tail_capture_and_reparses():
+    # BENCH_r03 postmortem: the driver records only the last ~2000 chars;
+    # the emitted line must always fit and strictly re-parse.
+    import json
+    suite = {f"config_{i:02d}": {"utts_per_sec": 1234.56 + i,
+                                 "mfu_pct": float("nan"),
+                                 "pct_of_roof": 63.0} for i in range(14)}
+    record = {"metric": "m", "value": 1234.56, "unit": "u",
+              "vs_baseline": 1.2,
+              "extra": {"device": "TPU v5 lite", "suite":
+                        bench._compact_suite(suite),
+                        "full": "BENCH_FULL.json"}}
+    line = bench._strict_line(record)
+    assert len(line) <= bench._EMIT_LIMIT and "\n" not in line
+    parsed = json.loads(line)   # strict: would reject NaN/Infinity
+    assert parsed["value"] == 1234.56
+    assert "NaN" not in line and "Infinity" not in line
+
+
+def test_strict_line_degrades_oversized_suite():
+    import json
+    suite = {f"very_long_configuration_name_{i:03d}":
+             {"utts_per_sec": float(i), "latency_ms": float(i),
+              "chunk_ms": float(i), "mfu_pct": 1.0, "pct_of_roof": 2.0}
+             for i in range(60)}
+    record = {"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 1.0,
+              "extra": {"device": "d", "suite": bench._compact_suite(suite),
+                        "full": "BENCH_FULL.json"}}
+    line = bench._strict_line(record)
+    assert len(line) <= bench._EMIT_LIMIT
+    json.loads(line)
+
+
+def test_compact_suite_keeps_primary_fields_and_errors():
+    suite = {"a": {"utts_per_sec": 10.0, "ms_per_batch": 5.0,
+                   "mfu_pct": 1.0, "pct_of_roof": 2.0, "rtfx": 9.9},
+             "b": {"error": "X" * 500}}
+    comp = bench._compact_suite(suite)
+    assert comp["a"] == {"utts_per_sec": 10.0, "mfu_pct": 1.0,
+                         "pct_of_roof": 2.0}
+    assert len(comp["b"]["error"]) == 60
