@@ -90,13 +90,19 @@ class IncrementalRecognizer:
        chunked. ``cmvn='global'`` takes precomputed (mean, std) — with the
        utterance's own stats this reproduces the offline features bit for
        bit (used by the parity tests). ``cmvn='none'`` feeds raw log-mel.
-    3. **Encoder** — once ``8 * chunk_logits`` new normalized frames (plus
-       a right halo) exist, one fixed-shape jitted program runs the AM on
-       ``[halo | chunk | halo]`` frames and keeps the chunk's logit rows.
-       With ``halo_frames`` >= the conv stack's receptive field (~54
-       frames for the DFCNN family; default 64) interior positions equal
-       the offline conv exactly; utterance edges are zero-padded exactly
-       like the offline bucketed run.
+    3. **Encoder** — once a full ``[halo | 8*chunk_logits | halo]``-frame
+       window of normalized frames exists, one fixed-shape jitted program
+       runs the AM on it and keeps the chunk's logit rows. With
+       ``halo_frames`` >= the conv stack's receptive field (~54 frames
+       for the DFCNN family; default 64) interior positions equal the
+       offline conv exactly. Utterance edges need care beyond zero
+       padding: a conv's SAME boundary is not equivalent to explicit
+       zero rows (the first conv row past real data leaks
+       ``f(last_real, 0, 0) != 0`` back through deeper layers), so the
+       head window clamps to start at frame 0 and the finalize tail
+       window aligns to end at the offline bucket edge — the streamed
+       program edges coincide with the offline program's, making the
+       decode token-exact at every utterance length.
     4. **CTC** — greedy collapse with the previous frame's argmax carried,
        so merges across chunk boundaries match the offline decode.
 
@@ -116,8 +122,10 @@ class IncrementalRecognizer:
 
         from asr_dfcnn_transformer_tpu.audio import fbank as fb
 
-        if halo_frames % 8 or chunk_logits <= 0:
+        if halo_frames % 8:
             raise ValueError("halo_frames must be a multiple of 8")
+        if chunk_logits <= 0:
+            raise ValueError("chunk_logits must be positive")
         if cmvn not in ("running", "global", "none"):
             raise ValueError(f"unknown cmvn mode {cmvn!r}")
         if cmvn == "global" and global_stats is None:
@@ -156,27 +164,35 @@ class IncrementalRecognizer:
 
         w = 2 * self.halo + 8 * self.chunk_logits
 
+        # Both programs return ALL of the window's logit rows (tiny
+        # arrays); the caller selects the exact rows host-side. This lets
+        # one compiled program serve interior chunks (centered window),
+        # the utterance head (window clamped to start at frame 0), and
+        # the finalize tail (window aligned to END at the bucket edge) —
+        # the clamping matters for exactness: a conv's SAME boundary is
+        # NOT equivalent to explicit zero rows (the first conv row past
+        # real data computes f(last_real, 0, 0) != 0 even with zero
+        # biases, and deeper layers pull that leak back into valid rows),
+        # so the streamed program edges must coincide with the offline
+        # program's edges (frame 0 and `bucket_frames`) whenever a
+        # selected logit's receptive field can reach them.
         @jax.jit
-        def am_chunk(window):
-            # window: [W, nfilt] normalized features -> argmax ids [CL]
+        def am_rows(window):
+            # window: [R, nfilt] normalized features -> argmax ids [R//8]
             logits = self.pipeline.am_model.apply(
                 self.pipeline.am_variables, window[None, :, :, None],
                 train=False)
-            q0 = self.halo // 8
-            sel = logits[0, q0: q0 + self.chunk_logits]
-            return jnp.argmax(sel, axis=-1).astype(jnp.int32)
+            return jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
 
         @jax.jit
-        def am_chunk_lp(window):
-            # window -> [1, CL, V] log-probs for the streaming beam
+        def am_rows_lp(window):
+            # window -> [1, R//8, V] log-probs for the streaming beam
             logits = self.pipeline.am_model.apply(
                 self.pipeline.am_variables, window[None, :, :, None],
                 train=False)
-            q0 = self.halo // 8
-            sel = logits[:, q0: q0 + self.chunk_logits]
-            return jax.nn.log_softmax(sel.astype(jnp.float32), axis=-1)
+            return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-        self._am_chunk_lp_fn = am_chunk_lp
+        self._am_rows_lp_fn = am_rows_lp
 
         lm_cap = self.pipeline.lm_max_len
 
@@ -188,7 +204,7 @@ class IncrementalRecognizer:
             return jnp.where(jnp.arange(ids.shape[0]) < n, han, 0)
 
         self._feat_group_fn = feat_group
-        self._am_chunk_fn = am_chunk
+        self._am_rows_fn = am_rows
         self._lm_prefix_fn = lm_prefix
         self._lm_cap = lm_cap
         self._window_frames = w
@@ -263,8 +279,9 @@ class IncrementalRecognizer:
                 [self._feats, self._normalize(self._raw_group)])
             self._raw_group = np.zeros((0, self.nfilt), np.float32)
 
-    def _window(self, start_frame: int) -> np.ndarray:
-        w = self._window_frames
+    def _window(self, start_frame: int, size: Optional[int] = None
+                ) -> np.ndarray:
+        w = size if size is not None else self._window_frames
         out = np.zeros((w, self.nfilt), np.float32)
         lo = max(start_frame, 0)
         hi = min(start_frame + w, self._feats.shape[0])
@@ -274,30 +291,60 @@ class IncrementalRecognizer:
 
     def _decode_ready(self, *, final: bool = False):
         cl = self.chunk_logits
+        wf = self._window_frames
         if final:
-            total = min(self._frames_done // 8 + 1, self.max_logits)
+            # offline parity: Pipeline.recognize_signal computes
+            # in_len = min(frames//8 + 1, bucket_frames//8) with
+            # bucket_frames = ceil-to-128 of the frame count (capped at
+            # FEATURE_MAX_LENGTH) — when the frame count lands exactly on
+            # a bucket boundary the +1 row does not exist offline, so it
+            # must not be decoded here either (ADVICE r3 #1)
+            from asr_dfcnn_transformer_tpu.core import constants
+            bucket = min(constants.FEATURE_MAX_LENGTH,
+                         ((max(self._frames_done, 1) + 127) // 128) * 128)
+            total = min(self._frames_done // 8 + 1, bucket // 8,
+                        self.max_logits)
         while True:
-            next_end = self._logits_done + cl
             have = self._feats.shape[0]
             if not final:
-                if 8 * next_end + self.halo > have:
+                # every frame of the (possibly head-clamped) window must be
+                # real before decoding mid-stream — a zero-filled right
+                # part would differ from the offline content there
+                if max(8 * self._logits_done - self.halo, 0) + wf > have:
                     break
-                n_new = cl
+                # max_logits bounds mid-stream decoding too, not just the
+                # finalize flush (ADVICE r3 #2)
+                n_new = min(cl, self.max_logits - self._logits_done)
+                if n_new <= 0:
+                    break
             else:
                 n_new = min(cl, total - self._logits_done)
                 if n_new <= 0:
                     break
-            window = self._window(8 * self._logits_done - self.halo)
+            # Window placement (see the __init__ comment on program-edge
+            # exactness): start clamps at frame 0 so the utterance head
+            # shares the offline program's left edge; at finalize, once a
+            # centered window would cross the bucket edge, the last window
+            # aligns to END at `bucket` (the offline right edge) and
+            # finishes every remaining row in one shot.
+            start = max(8 * self._logits_done - self.halo, 0)
+            win_rows = wf
+            if final and start + wf > bucket:
+                start = max(bucket - wf, 0)
+                win_rows = min(wf, bucket)
+                n_new = total - self._logits_done
+            r0 = self._logits_done - start // 8
+            window = self._window(start, win_rows)
             if self.decode == "beam":
                 from asr_dfcnn_transformer_tpu.ops import (
                     ctc_beam_search_stream_step)
-                lp = self._am_chunk_lp_fn(window)[:, :n_new]
+                lp = self._am_rows_lp_fn(window)[:, r0: r0 + n_new]
                 self._beam_state = ctc_beam_search_stream_step(
                     self._beam_state, lp, beam_width=self.beam_width,
                     topk=self.beam_width, blank_id=-1)
                 self._logits_done += n_new
                 continue
-            ids = np.asarray(self._am_chunk_fn(window))[:n_new]
+            ids = np.asarray(self._am_rows_fn(window))[r0: r0 + n_new]
             self._logits_done += n_new
             # blank = vocab - 1 (reference convention, acoustic_model.py:76)
             blank = self.pipeline.am_model.vocab_size - 1

@@ -167,7 +167,67 @@ def test_incremental_rejects_bad_config():
     import pytest
     with pytest.raises(ValueError, match="halo"):
         IncrementalRecognizer(pipe, halo_frames=30)
+    with pytest.raises(ValueError, match="chunk_logits"):
+        IncrementalRecognizer(pipe, chunk_logits=0)
     with pytest.raises(ValueError, match="cmvn"):
         IncrementalRecognizer(pipe, cmvn="nope")
     with pytest.raises(ValueError, match="global_stats"):
         IncrementalRecognizer(pipe, cmvn="global")
+
+
+def test_incremental_exact_bucket_boundary_parity():
+    """Frame count exactly on the 128-frame bucket grid (ADVICE r3 #1):
+    offline caps in_len at bucket_frames//8, one BELOW frames//8+1 there;
+    the streamed finalize must drop that extra all-padding logit too."""
+    pipe = _make_pipeline()
+    n = 400 + 255 * 160                     # -> exactly 256 frames
+    sig = _signal(seconds=n / 16000.0, seed=17)
+    assert len(sig) == n
+    stats = _exact_global_stats(sig, 40)
+    rec = IncrementalRecognizer(pipe, chunk_logits=8, halo_frames=64,
+                                frame_group=64, cmvn="global",
+                                global_stats=stats)
+    for i in range(0, len(sig), 3001):
+        rec.push(sig[i: i + 3001])
+    pinyin, _ = rec.finalize()
+    assert rec._logits_done == 256 // 8     # not frames//8 + 1 == 33
+    off_pinyin, _ = pipe.recognize_signal(sig)
+    assert pinyin == off_pinyin, (pinyin, off_pinyin)
+
+
+def test_incremental_near_bucket_boundary_parity():
+    """Frame count a few rows UNDER the bucket edge: the last logits'
+    receptive fields reach the offline program's conv SAME boundary at
+    ``bucket_frames``. A zero-halo window is NOT equivalent there (the
+    first conv row past real data leaks f(last_real, 0, 0) != 0 back
+    through deeper layers), so the finalize tail window must end exactly
+    at the bucket edge. Both decode backends, multiple phases."""
+    for seed, decode in ((21, "greedy"), (29, "greedy"), (31, "beam")):
+        pipe = _make_pipeline(decode=decode)
+        n = 400 + 249 * 160                 # exactly 250 frames, bucket 256
+        sig = _signal(seconds=n / 16000.0, seed=seed)
+        stats = _exact_global_stats(sig, 40)
+        rec = IncrementalRecognizer(pipe, chunk_logits=8, halo_frames=64,
+                                    frame_group=64, cmvn="global",
+                                    global_stats=stats)
+        for i in range(0, len(sig), 2777):
+            rec.push(sig[i: i + 2777])
+        pinyin, _ = rec.finalize()
+        off_pinyin, _ = pipe.recognize_signal(sig)
+        assert pinyin == off_pinyin, (seed, decode, pinyin, off_pinyin)
+
+
+def test_incremental_max_logits_enforced_mid_stream():
+    """max_logits bounds decode during push(), not only at finalize
+    (ADVICE r3 #2) — long streams stop decoding at the cap."""
+    pipe = _make_pipeline()
+    rec = IncrementalRecognizer(pipe, chunk_logits=8, halo_frames=64,
+                                frame_group=64, cmvn="running",
+                                max_logits=16)
+    sig = _signal(seconds=4.0, seed=19)     # ~400 frames >> 8 * 16
+    for i in range(0, len(sig), 4000):
+        rec.push(sig[i: i + 4000])
+        assert rec._logits_done <= 16
+    rec.finalize()
+    assert rec._logits_done <= 16
+    assert len(rec.pinyin_ids) <= 16
