@@ -132,6 +132,13 @@ _PEAKS = {
     "v5p": (459.0, 2765.0), "v5": (459.0, 2765.0), "v4": (275.0, 1228.0),
 }
 
+# The HBM *roof* needs a bandwidth the hardware can never beat, and the
+# published number is not that: --calibrate's pure-read stream measures
+# 885 GB/s on v5e (run of 2026-08-17) vs the 819 GB/s spec, which pushed
+# copy_pct_of_roof to 108%. Roof bandwidth = published x this margin;
+# erring high only *understates* pct_of_roof, preserving <=100.
+_BW_ROOF_MARGIN = 1.15
+
 
 def _peaks():
     import jax
@@ -195,9 +202,11 @@ def _roofline(dt, cost, min_bytes=0):
     XLA's flop count vs the published bf16 peak, and ``t_hbm`` from
     ``min_bytes`` — the *mandatory* per-iteration HBM traffic (weights +
     inputs, 2x optimizer state for train steps), computed analytically by
-    each config. Both are true lower bounds, so ``roof_ms <= dt`` and
-    ``pct_of_roof <= 100`` by construction. XLA's raw byte count is kept
-    as ``xla_bytes_gb`` for reference only."""
+    each config — against ``_BW_ROOF_MARGIN`` x the published bandwidth,
+    because the real chip out-reads its spec (885 vs 819 GB/s measured
+    by --calibrate on v5e). Both are then true lower bounds, so
+    ``roof_ms <= dt`` and ``pct_of_roof <= 100`` by construction. XLA's
+    raw byte count is kept as ``xla_bytes_gb`` for reference only."""
     out = {}
     fl, by = cost.get("flops"), cost.get("bytes")
     peak, bw = _peaks()
@@ -212,7 +221,7 @@ def _roofline(dt, cost, min_bytes=0):
         out["hbm_gbps_lb"] = round(min_bytes / dt / 1e9, 1)
     if fl and peak and bw:
         t_compute = fl / (peak * 1e12)
-        t_hbm = min_bytes / (bw * 1e9)
+        t_hbm = min_bytes / (bw * _BW_ROOF_MARGIN * 1e9)
         out["bound"] = "compute" if t_compute >= t_hbm else "hbm"
         out["roof_ms"] = round(1000.0 * max(t_compute, t_hbm), 3)
         out["pct_of_roof"] = round(100.0 * max(t_compute, t_hbm) / dt, 1)

@@ -8,9 +8,11 @@ under the clipped-edit-distance protocol via Pipeline.evaluate. Exercises
 the complete learn -> decode -> LM -> eval loop with real vocab ids.
 
 Tuned configuration reaches 100% (channels 12/12/24/24/24, 500 AM steps,
-lr 1.5e-3); the 0.9 gate leaves margin for seed/backend drift. Runtime
-~4 min on CPU — the most expensive test in the suite, and the one that
-catches end-to-end accuracy regressions nothing else can.
+lr 1.5e-3); the gate asserts >97% (VERDICT r3 #7 — tightened from the
+round-1 0.9 so CTC/beam/LM parity regressions actually trip it) with a
+3-point margin for seed/backend drift. Runtime ~4 min on CPU — the most
+expensive test in the suite, and the one that catches end-to-end accuracy
+regressions nothing else can.
 """
 
 import jax
@@ -71,5 +73,5 @@ def test_full_pipeline_accuracy_gate(tmp_path):
                     acoustic_vocab=av, language_vocab=lv)
     res = pipe.evaluate(test_dl.am_batches(8, shuffle=False))
     assert res.num_utterances == 96
-    assert res.pinyin_accuracy > 0.9, res
-    assert res.hanzi_accuracy > 0.9, res
+    assert res.pinyin_accuracy > 0.97, res
+    assert res.hanzi_accuracy > 0.97, res
