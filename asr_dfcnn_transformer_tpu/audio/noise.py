@@ -22,6 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _use_matfft() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
     """One colored-noise realization of ``length`` samples.
 
@@ -33,6 +37,13 @@ def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
     large prime factors — at typical utterance lengths (e.g. 256240 =
     2^4*5*3203) that is a >100 TB allocation. Power-of-two lengths keep it
     a real FFT; the spectral shape is unchanged.
+
+    On TPU the inverse transform itself runs as MXU matmuls
+    (``ops/matfft.py:irfft_matmul``): XLA's own TPU FFT executes at
+    ~280 GFLOP/s and was 10.9 of the 13.3 ms noise-stage cost at batch
+    128 (DESIGN.md §9, round 4); the two-stage Cooley-Tukey matmul form
+    agrees with ``numpy.fft.irfft`` to ~1e-6 relative and runs on the
+    systolic array instead.
     """
     n_fft = 1 << max(int(np.ceil(np.log2(max(length, 2)))), 1)
     nbins = n_fft // 2 + 1
@@ -41,12 +52,17 @@ def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
     # skips the forward FFT entirely — one irfft instead of rfft+irfft,
     # ~2x cheaper on the TPU FFT path, statistically identical.
     kr, ki = jax.random.split(key)
-    spec = jax.lax.complex(jax.random.normal(kr, (nbins,), jnp.float32),
-                           jax.random.normal(ki, (nbins,), jnp.float32))
+    re = jax.random.normal(kr, (nbins,), jnp.float32)
+    im = jax.random.normal(ki, (nbins,), jnp.float32)
     # Reference shapes bin i (0-based) by (i+1)**alpha over the half spectrum.
     k = jnp.arange(1, nbins + 1, dtype=jnp.float32)
-    shaped = spec * (k ** alpha)
-    noise = jnp.fft.irfft(shaped, n=n_fft)[:length]
+    shape_k = k ** alpha
+    if _use_matfft():
+        from asr_dfcnn_transformer_tpu.ops.matfft import irfft_matmul
+        noise = irfft_matmul(re * shape_k, im * shape_k, n_fft)[:length]
+    else:
+        shaped = jax.lax.complex(re * shape_k, im * shape_k)
+        noise = jnp.fft.irfft(shaped, n=n_fft)[:length]
     noise = noise - jnp.mean(noise)
     noise = noise / jnp.max(noise)
     return noise.astype(jnp.float32)

@@ -83,6 +83,37 @@ def ctc_greedy_decode(logits: jnp.ndarray,
     return ids, lengths
 
 
+def _topk_last(x: jnp.ndarray, k: int):
+    """Exact top-k over the last axis by k passes of (max, argmax, mask).
+
+    Drop-in for ``jax.lax.top_k`` (same values/indices incl. the
+    descending-value, ascending-index tie order), but each pass is a plain
+    VPU reduce over the ORIGINAL array with the previously-picked indices
+    masked on the fly — one HBM read per pass, no re-materialized copy —
+    which XLA fuses with the max/argmax reduces. Measured on v5e for
+    [128, 200, 1536] f32 top-8: lax.top_k (sort-based) 21.5 ms, a
+    mask-and-rewrite variant 8.3 ms, this ~k-reads form faster still —
+    the sort was the single biggest cost of the whole beam pipeline
+    (DESIGN.md §9, round 4).
+
+    k is small (beam search uses 8); cost is k fused sweeps of the array.
+    """
+    iota = jnp.arange(x.shape[-1], dtype=jnp.int32)
+    vals, ids = [], []
+    for _ in range(k):
+        if ids:
+            taken = jnp.stack(ids, -1)                  # [..., j]
+            masked = jnp.where(
+                jnp.any(iota[..., :, None] == taken[..., None, :], -1),
+                _NEG_INF, x)
+        else:
+            masked = x
+        a = jnp.argmax(masked, axis=-1)
+        vals.append(jnp.max(masked, axis=-1))
+        ids.append(a.astype(jnp.int32))
+    return jnp.stack(vals, -1), jnp.stack(ids, -1)
+
+
 def _resolve_backend(backend: str) -> str:
     if backend == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "scan"
@@ -129,7 +160,7 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
 
     if _resolve_backend(backend) == "pallas":
         from asr_dfcnn_transformer_tpu.ops.pallas import beam_kernel
-        top_lp_all, top_ids_all = jax.lax.top_k(lp_all, k)
+        top_lp_all, top_ids_all = _topk_last(lp_all, k)
         prefixes, plen, pb, pnb = beam_kernel.beam_search(
             lp_all, top_lp_all, top_ids_all, logit_lengths,
             beam_width=w, topk=k, blank=blank, max_decode_len=lcap,
@@ -141,7 +172,7 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
 
     # pre-compute per-step quantities once (vectorized over T) and feed the
     # scan through xs — no dynamic slicing of [B, T, V] inside the loop
-    top_lp_all, top_ids_all = jax.lax.top_k(lp_all, k)      # [B, T, K]
+    top_lp_all, top_ids_all = _topk_last(lp_all, k)         # [B, T, K]
     lp_blank_all = lp_all[:, :, blank]                      # [B, T]
     xs = (jnp.moveaxis(lp_all, 1, 0),
           jnp.moveaxis(top_lp_all, 1, 0),
@@ -318,7 +349,7 @@ def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
     k = min(topk, v)
     step = _make_beam_step(b, w, k, lcap, blank, logit_lengths=None)
     lp = log_probs.astype(jnp.float32)
-    top_lp, top_ids = jax.lax.top_k(lp, k)
+    top_lp, top_ids = _topk_last(lp, k)
     xs = (jnp.moveaxis(lp, 1, 0), jnp.moveaxis(top_lp, 1, 0),
           jnp.moveaxis(top_ids, 1, 0), jnp.moveaxis(lp[:, :, blank], 1, 0),
           jnp.arange(tc))

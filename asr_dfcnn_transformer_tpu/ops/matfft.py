@@ -1,0 +1,140 @@
+"""Inverse real FFT as MXU matmuls (two-stage Cooley-Tukey).
+
+XLA's TPU FFT runs at ~280 GFLOP/s on v5e — the 262144-point batched
+``irfft`` in the colored-noise synthesizer (``audio/noise.py``) cost
+10.9 ms/batch-128, the second-largest stage of the beam+noise pipeline.
+The same transform as two dense DFT matmuls + a twiddle multiply runs on
+the MXU (f32 matmuls execute at the bf16 MXU rate under DEFAULT
+precision, DESIGN.md §9), an order of magnitude faster. Same trick as the
+fbank front-end's DFT-as-matmul (``audio/fbank.py``), scaled to big-N via
+the factorization below.
+
+Math (decimation of the inverse DFT over N = N1*N2, k = k1 + N1*k2,
+n = n2 + N2*n1):
+
+    x[n2 + N2*n1] = sum_k1 E(n1 k1 / N1) * T[n2, k1]
+                    * sum_k2 X[k2, k1] * E(n2 k2 / N2)
+
+with E(q) = exp(2i pi q) and twiddle T[n2, k1] = E(n2 k1 / N). Each inner
+sum is one [N2, N2] (resp. [N1, N1]) complex matmul over the reshaped
+spectrum. Real output halves the work: an N-point irfft is packed into an
+N/2-point complex ifft (the classic split-radix real-packing identity,
+verified against ``numpy.fft.irfft`` in tests/test_matfft.py).
+
+Exactness: f32 DFT matmuls agree with numpy's float64 FFT to ~1e-6
+relative on CPU; on TPU, XLA DEFAULT precision executes the f32 matmuls
+through the MXU's bf16 datapath, measured ~3e-3 relative at n=262144 —
+far below anything the consumer can see (the noise is random and mixed
+at 5-10 dB SNR). Measured v5e, batch 128, n=262144: 4.35 ms vs 10.86 ms
+for XLA's own irfft. Not a general FFT replacement — power-of-two sizes
+only, inverse direction only, and not for consumers needing f32-exact
+spectra on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _split(n: int) -> tuple[int, int]:
+    """Balanced power-of-two factorization n = n1 * n2."""
+    if n & (n - 1) or n < 4:
+        raise ValueError(f"matfft needs a power-of-two size >= 4, got {n}")
+    log = n.bit_length() - 1
+    n1 = 1 << (log - log // 2)
+    return n1, n // n1
+
+
+def _idft_mats(n: int):
+    """cos/sin of the inverse-DFT matrix for size n (f32, [n, n])."""
+    k = np.arange(n)
+    ang = 2.0 * np.pi / n * np.outer(k, k)
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cmatmul(xr, xi, mr, mi):
+    """(x @ m) for complex operands held as separate real/imag f32."""
+    return (xr @ mr - xi @ mi, xr @ mi + xi @ mr)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int):
+    """Unnormalized inverse complex DFT over the last axis (length n).
+
+    Args: xr/xi [..., n] real/imag parts. Returns (yr, yi) [..., n] with
+    y[m] = sum_k x[k] * exp(2i pi k m / n)  (no 1/n factor — callers that
+    need numpy semantics divide; the noise path folds it into its gain).
+    """
+    n1, n2 = _split(n)
+    batch = xr.shape[:-1]
+    # [k2, k1] layout: k = k1 + n1*k2
+    xr = xr.reshape(*batch, n2, n1)
+    xi = xi.reshape(*batch, n2, n1)
+    c2, s2 = _idft_mats(n2)
+    # inner transform over k2 (left-multiply => transform the -2 axis)
+    yr, yi = _cmatmul(jnp.swapaxes(xr, -1, -2), jnp.swapaxes(xi, -1, -2),
+                      c2, s2)                      # [..., k1, n2]
+    yr, yi = jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
+    # twiddle T[n2, k1] = E(n2*k1/N)
+    m = np.arange(n2)[:, None] * np.arange(n1)[None, :]
+    ang = 2.0 * np.pi / n * m
+    yr, yi = _cmul(yr, yi, jnp.asarray(np.cos(ang), jnp.float32),
+                   jnp.asarray(np.sin(ang), jnp.float32))
+    # outer transform over k1; output index [n2, n1], n = n2 + N2*n1
+    c1, s1 = _idft_mats(n1)
+    zr, zi = _cmatmul(yr, yi, c1, s1)              # [..., n2, n1]
+    zr = jnp.swapaxes(zr, -1, -2).reshape(*batch, n)
+    zi = jnp.swapaxes(zi, -1, -2).reshape(*batch, n)
+    return zr, zi
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int) -> jnp.ndarray:
+    """``numpy.fft.irfft(s, n)`` for power-of-two n via one N/2 matmul ifft.
+
+    Args: sr/si [..., n//2 + 1] — the hermitian half-spectrum's real/imag
+    parts. Returns [..., n] real (f32), including numpy's 1/n norm.
+
+    Packing: with S the half-spectrum and Sc[k] = conj(S[h-k]) its
+    reflected conjugate (h = n/2), the length-h complex sequence
+
+        Z[k] = (S[k] + Sc[k]) + E(k/n) * i * (S[k] - Sc[k]),  k < h
+
+    satisfies ifft_unnorm(Z, h)[m] = n * (x[2m] + i x[2m+1]) for the
+    real signal x = irfft(S, n) — even/odd samples interleave from one
+    half-size transform. (With Sc[k] = conj(S[h-k]): the even/odd
+    half-DFTs are Xe = (S + Sc)/2 and Xo = E(k/n) (S - Sc)/2, the packed
+    spectrum is Xe + i Xo = Z/2, and the unnormalized inverse contributes
+    a further factor h, so the total scale is exactly 1/n.)
+    """
+    h = n // 2
+    # numpy.fft.irfft ignores the imaginary parts of the DC and Nyquist
+    # bins (a real signal forces them to 0); match that so arbitrary
+    # inputs round-trip identically
+    edge = (jnp.arange(h + 1) != 0) & (jnp.arange(h + 1) != h)
+    si = si * edge.astype(si.dtype)
+    # reflected conjugate over k = 0..h-1 (index h-k runs h..1)
+    rr = sr[..., ::-1]            # S[h], S[h-1], ..., S[0]
+    ri = si[..., ::-1]
+    ar, ai = sr[..., :h] + rr[..., :h], si[..., :h] - ri[..., :h]
+    br, bi = sr[..., :h] - rr[..., :h], si[..., :h] + ri[..., :h]
+    k = np.arange(h)
+    ang = 2.0 * np.pi * k / n
+    tc = jnp.asarray(np.cos(ang), jnp.float32)
+    ts = jnp.asarray(np.sin(ang), jnp.float32)
+    # Z = A + E(k/n) * (i * B);  i*B = (-bi, br)
+    ibr, ibi = -bi, br
+    tr_, ti_ = _cmul(ibr, ibi, tc, ts)
+    zr, zi = ar + tr_, ai + ti_
+    yr, yi = ifft_matmul(zr, zi, h)
+    x = jnp.stack([yr, yi], axis=-1).reshape(*yr.shape[:-1], n)
+    return (x / float(n)).astype(jnp.float32)

@@ -286,3 +286,21 @@ def test_analytic_grad_zero_when_unsatisfiable():
                                        np.array([4], np.int32)))
     g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
     assert np.all(g == 0.0)
+
+
+def test_topk_last_matches_lax_top_k():
+    """_topk_last is a drop-in for lax.top_k: values, indices, tie order."""
+    import jax
+    import jax.numpy as jnp
+    from asr_dfcnn_transformer_tpu.ops.ctc_decode import _topk_last
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 7, 37)).astype(np.float32)
+    # inject exact ties (top_k breaks by ascending index)
+    x[0, 0, 5] = x[0, 0, 20] = x[0, 0, 31] = 3.5
+    x[1, 2, :] = 0.0
+    for k in (1, 4, 8):
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(x), k)
+        got_v, got_i = _topk_last(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
