@@ -51,10 +51,19 @@ class DualAxisAttentionBlock(nn.Module):
     (b, f) row independently), the other treats F as the sequence axis;
     outputs are concatenated on channels and projected back (the TPU
     equivalent of the reference's conv-QKV 2-D attention, model.py:226-264).
+
+    ``num_heads`` is a pure reshape — the Q/K/V/out Dense shapes don't
+    depend on it, so checkpoints are interchangeable across head counts.
+    It is also the block's perf lever on TPU: with C=64, 4 heads mean
+    dh=16 contractions split into B*F*H micro-matmuls plus 4x the f32
+    score traffic; measured v5e b8 per block: h=4 5.04 ms, h=2 2.76,
+    h=1 1.42 (DESIGN.md §9 round 4). Default 1 head (the reference's
+    pre-net attention has no learned head split either — it attends per
+    conv channel, model.py:226-264).
     """
 
     channels: int
-    num_heads: int = 4
+    num_heads: int = 1
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -82,6 +91,7 @@ class PreNet(nn.Module):
 
     channels: int = 64
     num_attn_blocks: int = 2
+    num_heads: int = 1           # see DualAxisAttentionBlock.num_heads
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -94,7 +104,9 @@ class PreNet(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                              dtype=self.dtype)(x)
         for i in range(self.num_attn_blocks):
-            x = DualAxisAttentionBlock(self.channels, dtype=self.dtype,
+            x = DualAxisAttentionBlock(self.channels,
+                                       num_heads=self.num_heads,
+                                       dtype=self.dtype,
                                        name=f"dual_{i}")(x, not train)
         return x
 
@@ -106,13 +118,15 @@ class SpeechTransformer(nn.Module):
     num_enc_blocks: int = 6
     num_dec_blocks: int = 6
     prenet_channels: int = 64
+    prenet_heads: int = 1        # reshape-only; see DualAxisAttentionBlock
     dropout_rate: float = 0.1
     position_max_length: int = 512
     parity_decoder: bool = False  # True = reference's cross-attention-only decoder
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
-        self.prenet = PreNet(self.prenet_channels, dtype=self.dtype)
+        self.prenet = PreNet(self.prenet_channels,
+                             num_heads=self.prenet_heads, dtype=self.dtype)
         self.enc_proj = nn.Dense(self.d_model, dtype=self.dtype)
         self.enc_ln = nn.LayerNorm(dtype=self.dtype)
         self.enc_pos = LearnedPositionEmbed(self.position_max_length,

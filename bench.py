@@ -697,6 +697,11 @@ def main():
     run("train_step_fast", lambda: bench_train(m, fast=True))
     run("train_step_lm", lambda: bench_train_lm(m))
     run("train_step_e2e", lambda: bench_train_e2e(m))
+    # saturating-batch counterpart: batch 8 is the reference's cadence
+    # (end2end/model.py:30) but latency-starves a v5e; b64 shows what the
+    # model can actually do (VERDICT r3 #4)
+    run("train_step_e2e_b64", lambda: bench_train_e2e(m, batch=64,
+                                                      steps=20))
     if suite:
         emit()
 

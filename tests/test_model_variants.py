@@ -92,3 +92,27 @@ def test_sedfcnn_remat_stages_weight_parity_and_math():
                               jax.tree_util.tree_flatten_with_path(g1)[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4, err_msg=str(k))
+
+
+def test_dual_axis_heads_are_reshape_only():
+    """DualAxisAttentionBlock.num_heads changes no parameter shapes —
+    checkpoints are interchangeable across head counts (the perf lever
+    measured in DESIGN.md §9 round 4: h=1 is 3.6x h=4 on v5e)."""
+    from asr_dfcnn_transformer_tpu.models.speech_transformer import (
+        DualAxisAttentionBlock)
+
+    x = np.random.default_rng(0).standard_normal((2, 12, 10, 16)) \
+        .astype(np.float32)
+    b1 = DualAxisAttentionBlock(16, num_heads=1, dtype=jnp.float32)
+    b4 = DualAxisAttentionBlock(16, num_heads=4, dtype=jnp.float32)
+    v1 = b1.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v4 = b4.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v4)
+    for a, b in zip(jax.tree_util.tree_leaves(v1),
+                    jax.tree_util.tree_leaves(v4)):
+        assert a.shape == b.shape
+    # same params, different head split => different (but finite) outputs
+    y1 = np.asarray(b1.apply(v1, jnp.asarray(x)))
+    y4 = np.asarray(b4.apply(v1, jnp.asarray(x)))
+    assert y1.shape == y4.shape and np.isfinite(y1).all() \
+        and np.isfinite(y4).all()
