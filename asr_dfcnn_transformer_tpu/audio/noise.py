@@ -59,7 +59,11 @@ def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
     shape_k = k ** alpha
     if _use_matfft():
         from asr_dfcnn_transformer_tpu.ops.matfft import irfft_matmul
-        noise = irfft_matmul(re * shape_k, im * shape_k, n_fft)[:length]
+        # bf16 operands: half the HBM traffic, native MXU rate; the
+        # spectral error (~1e-2 relative) is invisible under the random
+        # draw + 5-10 dB SNR mix (see matfft docstring)
+        noise = irfft_matmul(re * shape_k, im * shape_k, n_fft,
+                             compute_dtype=jnp.bfloat16)[:length]
     else:
         shaped = jax.lax.complex(re * shape_k, im * shape_k)
         noise = jnp.fft.irfft(shaped, n=n_fft)[:length]

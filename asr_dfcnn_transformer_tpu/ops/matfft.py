@@ -49,56 +49,80 @@ def _split(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-def _idft_mats(n: int):
-    """cos/sin of the inverse-DFT matrix for size n (f32, [n, n])."""
+def _idft_mats(n: int, dtype=jnp.float32):
+    """cos/sin of the inverse-DFT matrix for size n ([n, n])."""
     k = np.arange(n)
     ang = 2.0 * np.pi / n * np.outer(k, k)
-    return (jnp.asarray(np.cos(ang), jnp.float32),
-            jnp.asarray(np.sin(ang), jnp.float32))
+    return (jnp.asarray(np.cos(ang), jnp.float32).astype(dtype),
+            jnp.asarray(np.sin(ang), jnp.float32).astype(dtype))
 
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _cmatmul(xr, xi, mr, mi):
-    """(x @ m) for complex operands held as separate real/imag f32."""
-    return (xr @ mr - xi @ mi, xr @ mi + xi @ mr)
+def _cmatmul(xr, xi, mr, mi, axis: int = -1):
+    """(x @ m) for complex operands held as separate real/imag f32,
+    contracting ``axis`` of x with axis 0 of m WITHOUT materializing a
+    transpose (the contracted axis moves to the end of the result).
+
+    The explicit ``swapaxes`` version cost more than the matmuls
+    themselves at n=262144/batch 128 (each transpose is a 268 MB
+    HBM round-trip); ``dot_general`` lets the MXU stream the other
+    orientation directly.
+    """
+    axis = axis % xr.ndim
+    dn = (((axis,), (0,)), ((), ()))
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                            preferred_element_type=xr.dtype
+                            if xr.dtype == jnp.float32 else jnp.float32)
+    out_r = dot(xr, mr) - dot(xi, mi)
+    out_i = dot(xr, mi) + dot(xi, mr)
+    return out_r.astype(xr.dtype), out_i.astype(xr.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "compute_dtype"))
+def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
+                compute_dtype=jnp.float32):
     """Unnormalized inverse complex DFT over the last axis (length n).
 
     Args: xr/xi [..., n] real/imag parts. Returns (yr, yi) [..., n] with
     y[m] = sum_k x[k] * exp(2i pi k m / n)  (no 1/n factor — callers that
     need numpy semantics divide; the noise path folds it into its gain).
+
+    ``compute_dtype=jnp.bfloat16`` halves every HBM round-trip and runs
+    the DFT matmuls at the native MXU rate (f32 accumulate); relative
+    error grows from ~1e-6 to ~1e-2-level — use only where the consumer
+    is insensitive (the noise synthesizer mixes at 5-10 dB SNR).
     """
     n1, n2 = _split(n)
     batch = xr.shape[:-1]
     # [k2, k1] layout: k = k1 + n1*k2
-    xr = xr.reshape(*batch, n2, n1)
-    xi = xi.reshape(*batch, n2, n1)
-    c2, s2 = _idft_mats(n2)
-    # inner transform over k2 (left-multiply => transform the -2 axis)
-    yr, yi = _cmatmul(jnp.swapaxes(xr, -1, -2), jnp.swapaxes(xi, -1, -2),
-                      c2, s2)                      # [..., k1, n2]
-    yr, yi = jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
-    # twiddle T[n2, k1] = E(n2*k1/N)
-    m = np.arange(n2)[:, None] * np.arange(n1)[None, :]
+    xr = xr.reshape(*batch, n2, n1).astype(compute_dtype)
+    xi = xi.reshape(*batch, n2, n1).astype(compute_dtype)
+    c2, s2 = _idft_mats(n2, compute_dtype)
+    # inner transform over k2 (contract the -2 axis in place; the result
+    # comes back as [..., k1, m2])
+    yr, yi = _cmatmul(xr, xi, c2, s2, axis=-2)     # [..., k1, n2]
+    # twiddle T[k1, n2] = E(n2*k1/N) on the [..., k1, n2] layout
+    m = np.arange(n1)[:, None] * np.arange(n2)[None, :]
     ang = 2.0 * np.pi / n * m
-    yr, yi = _cmul(yr, yi, jnp.asarray(np.cos(ang), jnp.float32),
-                   jnp.asarray(np.sin(ang), jnp.float32))
-    # outer transform over k1; output index [n2, n1], n = n2 + N2*n1
-    c1, s1 = _idft_mats(n1)
-    zr, zi = _cmatmul(yr, yi, c1, s1)              # [..., n2, n1]
-    zr = jnp.swapaxes(zr, -1, -2).reshape(*batch, n)
-    zi = jnp.swapaxes(zi, -1, -2).reshape(*batch, n)
+    yr, yi = _cmul(yr, yi,
+                   jnp.asarray(np.cos(ang), np.float32).astype(compute_dtype),
+                   jnp.asarray(np.sin(ang), np.float32).astype(compute_dtype))
+    # outer transform over k1 (the -2 axis again); result [..., n2, n1]
+    c1, s1 = _idft_mats(n1, compute_dtype)
+    zr, zi = _cmatmul(yr, yi, c1, s1, axis=-2)     # [..., n2, n1]
+    # output index n = n2 + N2*n1 -> need [..., n1, n2] flattening; this
+    # final interleave transpose is the one unavoidable relayout
+    zr = jnp.swapaxes(zr, -1, -2).reshape(*batch, n).astype(jnp.float32)
+    zi = jnp.swapaxes(zi, -1, -2).reshape(*batch, n).astype(jnp.float32)
     return zr, zi
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("n", "compute_dtype"))
+def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
     """``numpy.fft.irfft(s, n)`` for power-of-two n via one N/2 matmul ifft.
 
     Args: sr/si [..., n//2 + 1] — the hermitian half-spectrum's real/imag
@@ -135,6 +159,6 @@ def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int) -> jnp.ndarray:
     ibr, ibi = -bi, br
     tr_, ti_ = _cmul(ibr, ibi, tc, ts)
     zr, zi = ar + tr_, ai + ti_
-    yr, yi = ifft_matmul(zr, zi, h)
+    yr, yi = ifft_matmul(zr, zi, h, compute_dtype=compute_dtype)
     x = jnp.stack([yr, yi], axis=-1).reshape(*yr.shape[:-1], n)
     return (x / float(n)).astype(jnp.float32)
