@@ -192,12 +192,22 @@ class MultiHeadAttention(nn.Module):
     needed for KV-cached autoregressive decoding: :meth:`project_kv` (run
     once per sequence / appended token) and :meth:`attend_step` (one query
     position over a cache prefix).
+
+    ``fused``: backend for the single-head, unmasked, dropout-free case
+    (the e2e pre-net's dual-axis rows): "auto" (Pallas kernel on TPU,
+    einsum elsewhere — same convention as ``FbankConfig.backend``),
+    "pallas" (force the kernel; interprets off-TPU), or "einsum". The
+    kernel keeps the f32 score matrices in VMEM instead of round-tripping
+    them through HBM (DESIGN.md §9 round-4 e2e analysis). Capturing
+    attention maps (``capture_intermediates``) falls back to einsum so
+    ``sow`` keeps working.
     """
 
     d_model: int
     num_heads: int
     dropout_rate: float = 0.0
     parity: bool = False
+    fused: str = "auto"
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
@@ -239,6 +249,23 @@ class MultiHeadAttention(nn.Module):
         b, tq, _ = queries.shape
         tk = keys.shape[1]
         h, dh = self.num_heads, self.d_model // self.num_heads
+
+        if self.fused not in ("auto", "pallas", "einsum"):
+            raise ValueError(f"unknown attention backend {self.fused!r}")
+        from asr_dfcnn_transformer_tpu.ops.pallas.attn_kernel import (
+            dual_axis_attention, fused_wins)
+        use_fused = (
+            self.fused != "einsum" and h == 1 and mask is None
+            and (deterministic or self.dropout_rate == 0.0)
+            and not self.is_mutable_collection("intermediates")
+            and (self.fused == "pallas"
+                 or (jax.default_backend() == "tpu"
+                     and fused_wins(b, tk))))
+        if use_fused:
+            q = self.project_q(queries)
+            k, v = self._act(self.k_proj(keys)), self._act(self.v_proj(values))
+            out = dual_axis_attention(q, k, v)
+            return self._finish(out, queries)
 
         q = self.project_q(queries).reshape(b, tq, h, dh).transpose(0, 2, 1, 3)
         k = self._act(self.k_proj(keys)).reshape(b, tk, h, dh)\

@@ -64,6 +64,7 @@ class DualAxisAttentionBlock(nn.Module):
 
     channels: int
     num_heads: int = 1
+    fused: str = "auto"          # see MultiHeadAttention.fused
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -71,11 +72,13 @@ class DualAxisAttentionBlock(nn.Module):
         b, t, f, c = x.shape
         time_in = x.transpose(0, 2, 1, 3).reshape(b * f, t, c)
         time_out = MultiHeadAttention(self.channels, self.num_heads,
+                                      fused=self.fused,
                                       dtype=self.dtype, name="time_attn")(
             time_in, time_in, deterministic=deterministic)
         time_out = time_out.reshape(b, f, t, c).transpose(0, 2, 1, 3)
         freq_in = x.reshape(b * t, f, c)
         freq_out = MultiHeadAttention(self.channels, self.num_heads,
+                                      fused=self.fused,
                                       dtype=self.dtype, name="freq_attn")(
             freq_in, freq_in, deterministic=deterministic)
         freq_out = freq_out.reshape(b, t, f, c)
@@ -92,6 +95,7 @@ class PreNet(nn.Module):
     channels: int = 64
     num_attn_blocks: int = 2
     num_heads: int = 1           # see DualAxisAttentionBlock.num_heads
+    fused: str = "auto"          # see MultiHeadAttention.fused
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -106,6 +110,7 @@ class PreNet(nn.Module):
         for i in range(self.num_attn_blocks):
             x = DualAxisAttentionBlock(self.channels,
                                        num_heads=self.num_heads,
+                                       fused=self.fused,
                                        dtype=self.dtype,
                                        name=f"dual_{i}")(x, not train)
         return x
@@ -119,6 +124,7 @@ class SpeechTransformer(nn.Module):
     num_dec_blocks: int = 6
     prenet_channels: int = 64
     prenet_heads: int = 1        # reshape-only; see DualAxisAttentionBlock
+    prenet_fused: str = "auto"   # see MultiHeadAttention.fused
     dropout_rate: float = 0.1
     position_max_length: int = 512
     parity_decoder: bool = False  # True = reference's cross-attention-only decoder
@@ -126,7 +132,8 @@ class SpeechTransformer(nn.Module):
 
     def setup(self):
         self.prenet = PreNet(self.prenet_channels,
-                             num_heads=self.prenet_heads, dtype=self.dtype)
+                             num_heads=self.prenet_heads,
+                             fused=self.prenet_fused, dtype=self.dtype)
         self.enc_proj = nn.Dense(self.d_model, dtype=self.dtype)
         self.enc_ln = nn.LayerNorm(dtype=self.dtype)
         self.enc_pos = LearnedPositionEmbed(self.position_max_length,
