@@ -86,9 +86,10 @@ def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
                 compute_dtype=jnp.float32):
     """Unnormalized inverse complex DFT over the last axis (length n).
 
-    Args: xr/xi [..., n] real/imag parts. Returns (yr, yi) [..., n] with
-    y[m] = sum_k x[k] * exp(2i pi k m / n)  (no 1/n factor — callers that
-    need numpy semantics divide; the noise path folds it into its gain).
+    Args: xr/xi [..., n] real/imag parts. Returns (yr, yi) [..., n] in
+    ``compute_dtype`` with y[m] = sum_k x[k] * exp(2i pi k m / n)  (no 1/n
+    factor — callers that need numpy semantics divide; the noise path folds
+    it into its gain).
 
     ``compute_dtype=jnp.bfloat16`` halves every HBM round-trip and runs
     the DFT matmuls at the native MXU rate (f32 accumulate); relative
@@ -114,9 +115,12 @@ def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
     c1, s1 = _idft_mats(n1, compute_dtype)
     zr, zi = _cmatmul(yr, yi, c1, s1, axis=-2)     # [..., n2, n1]
     # output index n = n2 + N2*n1 -> need [..., n1, n2] flattening; this
-    # final interleave transpose is the one unavoidable relayout
-    zr = jnp.swapaxes(zr, -1, -2).reshape(*batch, n).astype(jnp.float32)
-    zi = jnp.swapaxes(zi, -1, -2).reshape(*batch, n).astype(jnp.float32)
+    # final interleave transpose is the one unavoidable relayout. It stays
+    # in compute_dtype — under bf16 that halves its HBM round-trip — so the
+    # return dtype is compute_dtype; callers upcast (the upcast fuses into
+    # their next elementwise pass).
+    zr = jnp.swapaxes(zr, -1, -2).reshape(*batch, n)
+    zi = jnp.swapaxes(zi, -1, -2).reshape(*batch, n)
     return zr, zi
 
 
@@ -160,5 +164,8 @@ def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int,
     tr_, ti_ = _cmul(ibr, ibi, tc, ts)
     zr, zi = ar + tr_, ai + ti_
     yr, yi = ifft_matmul(zr, zi, h, compute_dtype=compute_dtype)
+    # even/odd interleave in compute_dtype (half the relayout traffic under
+    # bf16); upcast + exact 1/n scale (n is a power of two) fuse into one
+    # final pass
     x = jnp.stack([yr, yi], axis=-1).reshape(*yr.shape[:-1], n)
-    return (x / float(n)).astype(jnp.float32)
+    return x.astype(jnp.float32) * (1.0 / n)
