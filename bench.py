@@ -43,7 +43,9 @@ TPU backend, both defeated):
 import json
 import math
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -619,8 +621,99 @@ def main():
         }), allow_nan=False), flush=True)
         return
 
-    m = _Models()
+    # ---- resilience against a dead tunnel (VERDICT r3 #1's other half) ----
+    # The tunneled backend goes down for multi-hour stretches (observed
+    # twice in round 2, again in round 4); a hung device init or a scan
+    # blocked on a dead tunnel would end the run with NO stdout line at
+    # all — the same "parsed: null" failure as an unparseable one. So:
+    # (a) probe the backend in a SUBPROCESS (in-process init hangs
+    # indefinitely) and wait up to ASR_TPU_BENCH_PROBE_WAIT for it, and
+    # (b) arm a global ASR_TPU_BENCH_DEADLINE watchdog that force-emits
+    # whatever the suite holds and exits. One strict line, always.
+    t0 = time.time()
+    probe_wait = float(os.environ.get("ASR_TPU_BENCH_PROBE_WAIT", "900"))
+    deadline = float(os.environ.get("ASR_TPU_BENCH_DEADLINE", "5400"))
+    dev_info = {"device": "unknown"}
     suite = {}
+    emitted = [False]
+    emit_lock = threading.Lock()
+
+    def emit(note=None):
+        """Print THE result line — exactly one JSON line on stdout, compact
+        enough for the driver's ~2000-char tail capture, strictly
+        parseable (allow_nan=False + self re-parse in _strict_line).
+        Single-shot: the watchdog and the normal path may race."""
+        with emit_lock:
+            if emitted[0]:
+                return
+            emitted[0] = True
+            head = suite.get("am_lm_b128", {})
+            if "utts_per_sec" not in head:  # headline errored: first good
+                head = next((v for v in suite.values()
+                             if "utts_per_sec" in v), {})
+            utts = head.get("utts_per_sec", 0.0)
+            extra = {"device": dev_info["device"],
+                     "suite": _compact_suite(suite),
+                     "full": "BENCH_FULL.json"}
+            if note:
+                extra["note"] = note
+            print(_strict_line({
+                "metric": "am_lm_inference_utts_per_sec_per_chip",
+                "value": utts,
+                "unit": "utterances/sec/chip (worst-case 16s utts, "
+                        "batch %d)" % batch,
+                "vs_baseline": round(utts / 1000.0, 3),
+                "extra": extra,
+            }), flush=True)
+
+    # ASR_TPU_BENCH_CPU=1 pins the whole run (probe subprocess AND this
+    # process) to the CPU backend — a harness smoke-test mode for when no
+    # TPU is reachable; numbers it produces are NOT the ledger's.
+    cpu_mode = bool(os.environ.get("ASR_TPU_BENCH_CPU"))
+    if cpu_mode:
+        jax.config.update("jax_platforms", "cpu")
+
+    def tunnel_probe(timeout=150):
+        pin = ("jax.config.update('jax_platforms','cpu');" if cpu_mode
+               else "")
+        code = ("import jax;" + pin + "import jax.numpy as jnp;"
+                "d = jax.devices()[0];"
+                "v = float(jnp.sum(jnp.ones((128, 128))));"
+                "print('PROBE', v, '|', d)")
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout)
+        except Exception:  # noqa: BLE001 — timeout or spawn failure
+            return False
+        for ln in (r.stdout or "").splitlines():
+            if ln.startswith("PROBE 16384.0"):
+                dev_info["device"] = ln.split("|", 1)[1].strip()
+                return True
+        return False
+
+    while not tunnel_probe():
+        waited = time.time() - t0
+        if waited > probe_wait:
+            print(f"# TPU backend unreachable after {int(waited)}s",
+                  file=sys.stderr, flush=True)
+            emit(note=f"TPU backend unreachable for {int(waited)}s; "
+                      "no measurements")
+            sys.exit(1)
+        print(f"# waiting for TPU tunnel ({int(waited)}s)...",
+              file=sys.stderr, flush=True)
+        time.sleep(45)
+
+    def watchdog():
+        time.sleep(max(0.0, deadline - (time.time() - t0)))
+        print(f"# bench deadline ({int(deadline)}s) hit; emitting partial "
+              "suite", file=sys.stderr, flush=True)
+        emit(note=f"deadline {int(deadline)}s hit; partial suite")
+        os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    m = _Models()
 
     def want(name):
         return only is None or only == name
@@ -633,31 +726,11 @@ def main():
         time-capped run leaves a complete record on disk."""
         try:
             with open(full_path, "w") as f:
-                json.dump(_sanitize({"device": str(jax.devices()[0]),
+                json.dump(_sanitize({"device": dev_info["device"],
                                      "batch": batch, "suite": suite}),
                           f, indent=1, allow_nan=False)
         except Exception as e:  # noqa: BLE001 — the stdout line still emits
             print(f"# BENCH_FULL.json write failed: {e}", file=sys.stderr)
-
-    def emit():
-        """Print THE result line — exactly one JSON line on stdout, compact
-        enough for the driver's ~2000-char tail capture, strictly
-        parseable (allow_nan=False + self re-parse in _strict_line)."""
-        head = suite.get("am_lm_b128", {})
-        if "utts_per_sec" not in head:   # headline errored: first good one
-            head = next((v for v in suite.values()
-                         if "utts_per_sec" in v), {})
-        utts = head.get("utts_per_sec", 0.0)
-        print(_strict_line({
-            "metric": "am_lm_inference_utts_per_sec_per_chip",
-            "value": utts,
-            "unit": "utterances/sec/chip (worst-case 16s utts, batch %d)"
-                    % batch,
-            "vs_baseline": round(utts / 1000.0, 3),
-            "extra": {"device": str(jax.devices()[0]),
-                      "suite": _compact_suite(suite),
-                      "full": "BENCH_FULL.json"},
-        }), flush=True)
 
     def run(name, fn, retries=1):
         """Run one suite config, surviving transient backend failures.
