@@ -81,21 +81,10 @@ def _cmatmul(xr, xi, mr, mi, axis: int = -1):
     return out_r.astype(xr.dtype), out_i.astype(xr.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "compute_dtype"))
-def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
-                compute_dtype=jnp.float32):
-    """Unnormalized inverse complex DFT over the last axis (length n).
-
-    Args: xr/xi [..., n] real/imag parts. Returns (yr, yi) [..., n] in
-    ``compute_dtype`` with y[m] = sum_k x[k] * exp(2i pi k m / n)  (no 1/n
-    factor — callers that need numpy semantics divide; the noise path folds
-    it into its gain).
-
-    ``compute_dtype=jnp.bfloat16`` halves every HBM round-trip and runs
-    the DFT matmuls at the native MXU rate (f32 accumulate); relative
-    error grows from ~1e-6 to ~1e-2-level — use only where the consumer
-    is insensitive (the noise synthesizer mixes at 5-10 dB SNR).
-    """
+def _ifft_stages(xr, xi, n: int, compute_dtype):
+    """Both DFT stages + twiddle of the inverse DFT, WITHOUT the final
+    interleave relayout: returns (zr, zi) [..., n2, n1] in compute_dtype,
+    where y[n2_idx + N2*n1_idx] = z[n2_idx, n1_idx]."""
     n1, n2 = _split(n)
     batch = xr.shape[:-1]
     # [k2, k1] layout: k = k1 + n1*k2
@@ -113,7 +102,26 @@ def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
                    jnp.asarray(np.sin(ang), np.float32).astype(compute_dtype))
     # outer transform over k1 (the -2 axis again); result [..., n2, n1]
     c1, s1 = _idft_mats(n1, compute_dtype)
-    zr, zi = _cmatmul(yr, yi, c1, s1, axis=-2)     # [..., n2, n1]
+    return _cmatmul(yr, yi, c1, s1, axis=-2)       # [..., n2, n1]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "compute_dtype"))
+def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
+                compute_dtype=jnp.float32):
+    """Unnormalized inverse complex DFT over the last axis (length n).
+
+    Args: xr/xi [..., n] real/imag parts. Returns (yr, yi) [..., n] in
+    ``compute_dtype`` with y[m] = sum_k x[k] * exp(2i pi k m / n)  (no 1/n
+    factor — callers that need numpy semantics divide; the noise path folds
+    it into its gain).
+
+    ``compute_dtype=jnp.bfloat16`` halves every HBM round-trip and runs
+    the DFT matmuls at the native MXU rate (f32 accumulate); relative
+    error grows from ~1e-6 to ~1e-2-level — use only where the consumer
+    is insensitive (the noise synthesizer mixes at 5-10 dB SNR).
+    """
+    batch = xr.shape[:-1]
+    zr, zi = _ifft_stages(xr, xi, n, compute_dtype)
     # output index n = n2 + N2*n1 -> need [..., n1, n2] flattening; this
     # final interleave transpose is the one unavoidable relayout. It stays
     # in compute_dtype — under bf16 that halves its HBM round-trip — so the
@@ -124,13 +132,22 @@ def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
     return zr, zi
 
 
-@functools.partial(jax.jit, static_argnames=("n", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("n", "compute_dtype",
+                                             "epilogue"))
 def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int,
-                 compute_dtype=jnp.float32) -> jnp.ndarray:
+                 compute_dtype=jnp.float32,
+                 epilogue: str = "auto") -> jnp.ndarray:
     """``numpy.fft.irfft(s, n)`` for power-of-two n via one N/2 matmul ifft.
 
     Args: sr/si [..., n//2 + 1] — the hermitian half-spectrum's real/imag
     parts. Returns [..., n] real (f32), including numpy's 1/n norm.
+
+    ``epilogue`` selects how the final interleave relayout runs: "xla"
+    (two relayout passes), "pallas" (one fused read-z/write-x kernel,
+    ``ops/pallas/fft_epilogue.py`` — bit-identical output), or "auto".
+    "auto" currently resolves to "xla" everywhere: the kernel's win is
+    not yet measured on hardware (flip here once it is — FbankConfig
+    "auto"-crossover convention).
 
     Packing: with S the half-spectrum and Sc[k] = conj(S[h-k]) its
     reflected conjugate (h = n/2), the length-h complex sequence
@@ -163,6 +180,15 @@ def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int,
     ibr, ibi = -bi, br
     tr_, ti_ = _cmul(ibr, ibi, tc, ts)
     zr, zi = ar + tr_, ai + ti_
+    if epilogue == "auto":
+        epilogue = "xla"        # kernel win unmeasured; see docstring
+    if epilogue == "pallas":
+        from asr_dfcnn_transformer_tpu.ops.pallas.fft_epilogue import (
+            interleave_epilogue)
+        wr, wi = _ifft_stages(zr, zi, h, compute_dtype)
+        return interleave_epilogue(wr, wi, n)
+    if epilogue != "xla":
+        raise ValueError(f"epilogue must be auto|xla|pallas, got {epilogue}")
     yr, yi = ifft_matmul(zr, zi, h, compute_dtype=compute_dtype)
     # even/odd interleave in compute_dtype (half the relayout traffic under
     # bf16); upcast + exact 1/n scale (n is a power of two) fuse into one

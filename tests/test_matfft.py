@@ -81,3 +81,40 @@ def test_color_noise_matfft_path_matches_fft_path(monkeypatch):
     # spectral shape preserved: correlation with the exact path ~1
     c = np.corrcoef(got, ref)[0, 1]
     assert c > 0.999, c
+
+
+def test_irfft_pallas_epilogue_bit_identical():
+    """The fused interleave-epilogue kernel (ops/pallas/fft_epilogue.py,
+    interpreted off-TPU) must reproduce the XLA relayout path bit for bit
+    — same upcast-then-scale order, exact 1/n."""
+    rng = np.random.default_rng(4)
+    for n, cd in ((4096, jnp.float32), (16384, jnp.bfloat16)):
+        spec = (rng.standard_normal((3, n // 2 + 1)).astype(np.float32),
+                rng.standard_normal((3, n // 2 + 1)).astype(np.float32))
+        xla = np.asarray(matfft.irfft_matmul(
+            jnp.asarray(spec[0]), jnp.asarray(spec[1]), n,
+            compute_dtype=cd, epilogue="xla"))
+        pal = np.asarray(matfft.irfft_matmul(
+            jnp.asarray(spec[0]), jnp.asarray(spec[1]), n,
+            compute_dtype=cd, epilogue="pallas"))
+        np.testing.assert_array_equal(pal, xla)
+
+
+def test_irfft_pallas_epilogue_under_vmap():
+    """color_noise calls irfft_matmul per-row under vmap; the kernel must
+    batch correctly through pallas_call's vmap rule."""
+    rng = np.random.default_rng(5)
+    n = 2048
+    spec = (rng.standard_normal((4, n // 2 + 1)).astype(np.float32),
+            rng.standard_normal((4, n // 2 + 1)).astype(np.float32))
+    got = jax.vmap(lambda r, i: matfft.irfft_matmul(
+        r, i, n, epilogue="pallas"))(jnp.asarray(spec[0]),
+                                     jnp.asarray(spec[1]))
+    ref = np.fft.irfft(spec[0] + 1j * spec[1], n)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_irfft_rejects_bad_epilogue():
+    x = jnp.zeros((9,)), jnp.zeros((9,))
+    with pytest.raises(ValueError):
+        matfft.irfft_matmul(*x, 16, epilogue="nope")
