@@ -57,7 +57,7 @@ def color_noise(key: jax.Array, length: int, alpha: jnp.ndarray) -> jnp.ndarray:
     # Reference shapes bin i (0-based) by (i+1)**alpha over the half spectrum.
     k = jnp.arange(1, nbins + 1, dtype=jnp.float32)
     shape_k = k ** alpha
-    if _use_matfft():
+    if _use_matfft() and n_fft >= 8:   # matfft's two-stage split needs n>=8
         from asr_dfcnn_transformer_tpu.ops.matfft import irfft_matmul
         # bf16 operands: half the HBM traffic, native MXU rate; the
         # spectral error (~1e-2 relative) is invisible under the random

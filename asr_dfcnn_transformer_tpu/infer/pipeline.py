@@ -39,6 +39,15 @@ from asr_dfcnn_transformer_tpu.ops import ctc_beam_search_decode, ctc_greedy_dec
 from asr_dfcnn_transformer_tpu.ops.edit_distance import edit_distance
 
 
+def infer_bucket_frames(frames: int) -> int:
+    """The single-utterance inference bucket: frame count ceil'd to 128,
+    capped at FEATURE_MAX_LENGTH. This is THE offline rule the streamed
+    finalize (infer/streaming.py) clamps its logit count to — its
+    token-exactness guarantee requires both sites to share it."""
+    return min(constants.FEATURE_MAX_LENGTH,
+               ((max(frames, 1) + 127) // 128) * 128)
+
+
 @dataclasses.dataclass
 class EvalResult:
     pinyin_accuracy: float
@@ -185,8 +194,7 @@ class Pipeline:
         n = len(signal)
         if bucket_frames is None:
             frames = max(1, 1 + (n - 400 + 159) // 160)
-            bucket_frames = min(constants.FEATURE_MAX_LENGTH,
-                                ((frames + 127) // 128) * 128)
+            bucket_frames = infer_bucket_frames(frames)
         s_max = (bucket_frames - 1) * 160 + 400
         buf = np.zeros((1, s_max), np.float32)
         buf[0, : min(n, s_max)] = signal[: s_max]

@@ -295,13 +295,14 @@ class IncrementalRecognizer:
         if final:
             # offline parity: Pipeline.recognize_signal computes
             # in_len = min(frames//8 + 1, bucket_frames//8) with
-            # bucket_frames = ceil-to-128 of the frame count (capped at
-            # FEATURE_MAX_LENGTH) — when the frame count lands exactly on
-            # a bucket boundary the +1 row does not exist offline, so it
-            # must not be decoded here either (ADVICE r3 #1)
-            from asr_dfcnn_transformer_tpu.core import constants
-            bucket = min(constants.FEATURE_MAX_LENGTH,
-                         ((max(self._frames_done, 1) + 127) // 128) * 128)
+            # bucket_frames = infer_bucket_frames(frames) — when the frame
+            # count lands exactly on a bucket boundary the +1 row does not
+            # exist offline, so it must not be decoded here either
+            # (ADVICE r3 #1); the rule is SHARED with the offline path so
+            # the two can never drift
+            from asr_dfcnn_transformer_tpu.infer.pipeline import (
+                infer_bucket_frames)
+            bucket = infer_bucket_frames(self._frames_done)
             total = min(self._frames_done // 8 + 1, bucket // 8,
                         self.max_logits)
         while True:

@@ -256,6 +256,10 @@ class MultiHeadAttention(nn.Module):
             dual_axis_attention, fused_wins)
         use_fused = (
             self.fused != "einsum" and h == 1 and mask is None
+            # self-attention only: the kernel derives its packing geometry
+            # and slot mask from ONE length, so tq != tk (cross-attention)
+            # would let zero-padded phantom keys receive softmax weight
+            and tq == tk
             and (deterministic or self.dropout_rate == 0.0)
             and not self.is_mutable_collection("intermediates")
             and (self.fused == "pallas"

@@ -74,8 +74,7 @@ def _cmatmul(xr, xi, mr, mi, axis: int = -1):
     axis = axis % xr.ndim
     dn = (((axis,), (0,)), ((), ()))
     dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            preferred_element_type=xr.dtype
-                            if xr.dtype == jnp.float32 else jnp.float32)
+                            preferred_element_type=jnp.float32)
     out_r = dot(xr, mr) - dot(xi, mi)
     out_i = dot(xr, mi) + dot(xi, mr)
     return out_r.astype(xr.dtype), out_i.astype(xr.dtype)
@@ -137,7 +136,8 @@ def ifft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, n: int,
 def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int,
                  compute_dtype=jnp.float32,
                  epilogue: str = "auto") -> jnp.ndarray:
-    """``numpy.fft.irfft(s, n)`` for power-of-two n via one N/2 matmul ifft.
+    """``numpy.fft.irfft(s, n)`` for power-of-two n >= 8 via one N/2
+    matmul ifft (the packed half-size transform must itself split).
 
     Args: sr/si [..., n//2 + 1] — the hermitian half-spectrum's real/imag
     parts. Returns [..., n] real (f32), including numpy's 1/n norm.

@@ -589,6 +589,14 @@ def main():
     except Exception:
         pass
 
+    # ASR_TPU_BENCH_CPU=1 pins the whole run (every branch incl.
+    # --calibrate, the probe subprocess, and the suite) to the CPU
+    # backend — a harness smoke-test mode for when no TPU is reachable;
+    # numbers it produces are NOT the ledger's.
+    cpu_mode = bool(os.environ.get("ASR_TPU_BENCH_CPU"))
+    if cpu_mode:
+        jax.config.update("jax_platforms", "cpu")
+
     argv = sys.argv[1:]
     batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 128
     only = argv[argv.index("--only") + 1] if "--only" in argv else None
@@ -666,13 +674,6 @@ def main():
                 "extra": extra,
             }), flush=True)
 
-    # ASR_TPU_BENCH_CPU=1 pins the whole run (probe subprocess AND this
-    # process) to the CPU backend — a harness smoke-test mode for when no
-    # TPU is reachable; numbers it produces are NOT the ledger's.
-    cpu_mode = bool(os.environ.get("ASR_TPU_BENCH_CPU"))
-    if cpu_mode:
-        jax.config.update("jax_platforms", "cpu")
-
     def tunnel_probe(timeout=150):
         pin = ("jax.config.update('jax_platforms','cpu');" if cpu_mode
                else "")
@@ -706,12 +707,27 @@ def main():
 
     def watchdog():
         time.sleep(max(0.0, deadline - (time.time() - t0)))
-        print(f"# bench deadline ({int(deadline)}s) hit; emitting partial "
-              "suite", file=sys.stderr, flush=True)
-        emit(note=f"deadline {int(deadline)}s hit; partial suite")
-        os._exit(3)
+        try:
+            print(f"# bench deadline ({int(deadline)}s) hit; emitting "
+                  "partial suite", file=sys.stderr, flush=True)
+            emit(note=f"deadline {int(deadline)}s hit; partial suite")
+        finally:                   # a raising emit must not lose the exit
+            os._exit(3)
 
     threading.Thread(target=watchdog, daemon=True).start()
+
+    def on_term(signum, frame):    # an external cap usually TERMs first:
+        try:                       # get the partial line out before dying
+            emit(note=f"terminated by signal {signum}; partial suite")
+        finally:
+            os._exit(4)
+
+    try:
+        import signal
+        signal.signal(signal.SIGTERM, on_term)
+        signal.signal(signal.SIGINT, on_term)
+    except Exception:  # noqa: BLE001 — non-main-thread embedding
+        pass
 
     m = _Models()
 

@@ -130,3 +130,18 @@ def test_prenet_block_fused_equals_einsum():
     np.testing.assert_allclose(np.asarray(out_p, np.float32),
                                np.asarray(out_e, np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_mha_cross_attention_never_fused():
+    """tq != tk must take the einsum path even under fused="pallas": the
+    kernel derives its packing geometry and slot mask from ONE length, so
+    cross-attention would hand zero-padded phantom keys softmax weight.
+    Exactness vs an einsum-only module on shared params is the proof."""
+    q = jax.random.normal(jax.random.PRNGKey(9), (3, 24, 64), jnp.bfloat16)
+    kv = jax.random.normal(jax.random.PRNGKey(10), (3, 9, 64), jnp.bfloat16)
+    mha_p = MultiHeadAttention(64, 1, fused="pallas")
+    mha_e = MultiHeadAttention(64, 1, fused="einsum")
+    params = mha_p.init(jax.random.PRNGKey(11), q, kv)
+    np.testing.assert_array_equal(
+        np.asarray(mha_p.apply(params, q, kv), np.float32),
+        np.asarray(mha_e.apply(params, q, kv), np.float32))

@@ -25,11 +25,7 @@ from asr_dfcnn_transformer_tpu.data import (
 from asr_dfcnn_transformer_tpu.models import BiGRUCTC
 from asr_dfcnn_transformer_tpu.parallel import make_mesh
 from asr_dfcnn_transformer_tpu.train import AMTrainer
-
-
-def _dev_mean(evals, key):
-    w = sum(float(e["weight"]) for e in evals)
-    return sum(float(e[key]) * float(e["weight"]) for e in evals) / max(w, 1)
+from asr_dfcnn_transformer_tpu.train.trainer import _dev_mean
 
 
 @pytest.mark.slow
