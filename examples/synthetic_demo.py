@@ -8,9 +8,11 @@ clipped-edit-distance protocol. Expected output: ~1.0 accuracy on the
 toy task (same configuration as the asserted CI gate,
 tests/test_synthetic_cer_gate.py). Runtime ~5 min on CPU.
 
-    PYTHONPATH=. python examples/synthetic_demo.py
+    python examples/synthetic_demo.py     # from anywhere
 """
 import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8'
 import jax; jax.config.update('jax_platforms','cpu')
 import numpy as np, jax.numpy as jnp
