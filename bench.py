@@ -639,8 +639,12 @@ def main():
     # (b) arm a global ASR_TPU_BENCH_DEADLINE watchdog that force-emits
     # whatever the suite holds and exits. One strict line, always.
     t0 = time.time()
-    probe_wait = float(os.environ.get("ASR_TPU_BENCH_PROBE_WAIT", "900"))
     deadline = float(os.environ.get("ASR_TPU_BENCH_DEADLINE", "5400"))
+    # keep probing for most of the window: a tunnel that comes back late
+    # still yields real numbers (a partial suite beats a 0.0 line), while
+    # the last ~25 min stay reserved for actually running it
+    probe_wait = float(os.environ.get("ASR_TPU_BENCH_PROBE_WAIT",
+                                      str(max(300.0, deadline - 1500.0))))
     dev_info = {"device": "unknown"}
     suite = {}
     emitted = [False]
