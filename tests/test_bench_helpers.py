@@ -6,11 +6,20 @@ columns can't silently vanish or mis-scale again (XLA counts a while
 body once per program — the round-3 bug that zeroed every slope).
 """
 
+import json
+import os
+import signal
+import subprocess
 import sys
+import time
+
+import pytest
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import bench  # noqa: E402
+
+_BENCH = os.path.join(__file__.rsplit("/", 2)[0], "bench.py")
 
 
 def test_cost_delta_while_body_counted_once():
@@ -131,3 +140,40 @@ def test_compact_suite_keeps_primary_fields_and_errors():
     assert comp["a"] == {"utts_per_sec": 10.0, "mfu_pct": 1.0,
                          "pct_of_roof": 2.0}
     assert len(comp["b"]["error"]) == 60
+
+
+@pytest.mark.slow
+def test_bench_deadline_watchdog_emits_partial_line(tmp_path):
+    """A deadline hit mid-suite must still print ONE strictly parseable
+    JSON line (rc=3) — the no-stdout-line failure mode of round 3."""
+    env = dict(os.environ, ASR_TPU_BENCH_CPU="1",
+               ASR_TPU_BENCH_DEADLINE="25", ASR_TPU_BENCH_PROBE_WAIT="120",
+               ASR_TPU_COMPILE_CACHE=str(tmp_path))
+    r = subprocess.run([sys.executable, str(_BENCH)], env=env,
+                       capture_output=True, text=True, timeout=240)
+    assert r.returncode == 3, (r.returncode, r.stderr[-500:])
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert isinstance(rec["value"], (int, float))
+    assert "deadline" in rec["extra"]["note"]
+
+
+@pytest.mark.slow
+def test_bench_sigterm_emits_partial_line(tmp_path):
+    """An external TERM (driver wall-clock cap) must flush the partial
+    line before dying (rc=4)."""
+    env = dict(os.environ, ASR_TPU_BENCH_CPU="1",
+               ASR_TPU_BENCH_DEADLINE="600", ASR_TPU_BENCH_PROBE_WAIT="120",
+               ASR_TPU_COMPILE_CACHE=str(tmp_path))
+    p = subprocess.Popen([sys.executable, str(_BENCH)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    time.sleep(30)          # past the CPU probe, inside the suite build
+    p.send_signal(signal.SIGTERM)
+    out, err = p.communicate(timeout=120)
+    assert p.returncode == 4, (p.returncode, err[-500:])
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert "terminated by signal" in rec["extra"]["note"]
