@@ -678,6 +678,34 @@ def main():
                 "extra": extra,
             }), flush=True)
 
+    def watchdog():
+        time.sleep(max(0.0, deadline - (time.time() - t0)))
+        try:
+            print(f"# bench deadline ({int(deadline)}s) hit; emitting "
+                  "partial suite", file=sys.stderr, flush=True)
+            emit(note=f"deadline {int(deadline)}s hit; partial suite")
+        finally:                   # a raising emit must not lose the exit
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    def on_term(signum, frame):    # an external cap usually TERMs first:
+        try:                       # get the partial line out before dying
+            emit(note=f"terminated by signal {signum}; partial suite")
+        finally:
+            os._exit(4)
+
+    try:
+        # installed BEFORE the probe loop: a TERM while waiting out a
+        # tunnel outage (up to probe_wait = ~65 min) must still emit the
+        # line — that window is precisely when an external wall-clock cap
+        # is most likely to fire
+        import signal
+        signal.signal(signal.SIGTERM, on_term)
+        signal.signal(signal.SIGINT, on_term)
+    except Exception:  # noqa: BLE001 — non-main-thread embedding
+        pass
+
     def tunnel_probe(timeout=150):
         pin = ("jax.config.update('jax_platforms','cpu');" if cpu_mode
                else "")
@@ -708,30 +736,6 @@ def main():
         print(f"# waiting for TPU tunnel ({int(waited)}s)...",
               file=sys.stderr, flush=True)
         time.sleep(45)
-
-    def watchdog():
-        time.sleep(max(0.0, deadline - (time.time() - t0)))
-        try:
-            print(f"# bench deadline ({int(deadline)}s) hit; emitting "
-                  "partial suite", file=sys.stderr, flush=True)
-            emit(note=f"deadline {int(deadline)}s hit; partial suite")
-        finally:                   # a raising emit must not lose the exit
-            os._exit(3)
-
-    threading.Thread(target=watchdog, daemon=True).start()
-
-    def on_term(signum, frame):    # an external cap usually TERMs first:
-        try:                       # get the partial line out before dying
-            emit(note=f"terminated by signal {signum}; partial suite")
-        finally:
-            os._exit(4)
-
-    try:
-        import signal
-        signal.signal(signal.SIGTERM, on_term)
-        signal.signal(signal.SIGINT, on_term)
-    except Exception:  # noqa: BLE001 — non-main-thread embedding
-        pass
 
     m = _Models()
 

@@ -160,6 +160,30 @@ def test_bench_deadline_watchdog_emits_partial_line(tmp_path):
 
 
 @pytest.mark.slow
+def test_bench_sigterm_during_probe_wait_emits_line(tmp_path):
+    """A TERM while bench is still waiting for the tunnel (the probe loop
+    can hold for ~65 min during an outage — exactly when an external
+    wall-clock cap fires) must also flush the one strict line: the
+    handlers are installed BEFORE the probe loop."""
+    env = dict(os.environ, JAX_PLATFORMS="tpu",  # no TPU plugin here ->
+               # the probe subprocess fails -> bench stays in the loop
+               ASR_TPU_BENCH_DEADLINE="600", ASR_TPU_BENCH_PROBE_WAIT="300",
+               ASR_TPU_COMPILE_CACHE=str(tmp_path))
+    env.pop("ASR_TPU_BENCH_CPU", None)
+    p = subprocess.Popen([sys.executable, str(_BENCH)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    time.sleep(20)          # inside the probe loop (first probe ~5-10 s)
+    p.send_signal(signal.SIGTERM)
+    out, err = p.communicate(timeout=120)
+    assert p.returncode == 4, (p.returncode, err[-500:])
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert "terminated by signal" in rec["extra"]["note"]
+
+
+@pytest.mark.slow
 def test_bench_sigterm_emits_partial_line(tmp_path):
     """An external TERM (driver wall-clock cap) must flush the partial
     line before dying (rc=4)."""
