@@ -96,14 +96,21 @@ def _alpha0(lp, emit_all, label_lengths, valid_ext, blank):
     return jnp.where(valid_ext, alpha0, _NEG_INF)
 
 
-def _total_from_alpha(alpha_last, label_lengths):
+def _total_from_alpha(alpha_last, label_lengths, logit_lengths):
     """log P from the final alpha row: alpha[2L] (+) alpha[2L-1]."""
     idx_last = 2 * label_lengths
     a_last = jnp.take_along_axis(alpha_last, idx_last[:, None], axis=1)[:, 0]
     idx_prev = jnp.maximum(idx_last - 1, 0)
     a_prev = jnp.take_along_axis(alpha_last, idx_prev[:, None], axis=1)[:, 0]
     a_prev = jnp.where(label_lengths > 0, a_prev, _NEG_INF)
-    return jnp.logaddexp(a_last, a_prev)
+    total = jnp.logaddexp(a_last, a_prev)
+    # Zero valid frames: the DP above necessarily read frame 0's scores
+    # (alpha0 is built from lp[:, 0]), so correct the readout here:
+    # log P = 0 for an empty label sequence, -inf otherwise. Unreachable
+    # through the data layer (the loader drops label >= length rows,
+    # data_loader.py:139-156) but the op must stand on its own.
+    empty_ok = jnp.where(label_lengths > 0, _NEG_INF, 0.0)
+    return jnp.where(logit_lengths > 0, total, empty_ok)
 
 
 def _beta_init(valid_ext, label_lengths):
@@ -142,7 +149,7 @@ def _alpha_scan(lp, emit_all, logit_lengths, label_lengths, valid_ext,
         return out, out if stack else None
 
     alpha, rest = jax.lax.scan(step, alpha0, (emit_xs[1:], jnp.arange(1, t)))
-    total = _total_from_alpha(alpha, label_lengths)
+    total = _total_from_alpha(alpha, label_lengths, logit_lengths)
     alphas = jnp.concatenate([alpha0[None], rest], axis=0) if stack else None
     return total, alphas
 
@@ -217,7 +224,7 @@ def _alpha_pallas(lp, emit_all, logit_lengths, label_lengths, valid_ext,
         lp, emit_all, label_lengths, valid_ext, can_skip, blank)
     alphas = k.alpha_stack(emit_tbs, init, skip_p, valid_p, logit_lengths,
                            interpret=jax.default_backend() != "tpu")
-    total = _total_from_alpha(alphas[-1, :, :s], label_lengths)
+    total = _total_from_alpha(alphas[-1, :, :s], label_lengths, logit_lengths)
     return total, alphas
 
 

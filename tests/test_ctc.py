@@ -304,3 +304,33 @@ def test_topk_last_matches_lax_top_k():
         got_v, got_i = _topk_last(jnp.asarray(x), k)
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
         np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+
+def test_ctc_loss_zero_logit_length_rows():
+    """Zero valid frames: NLL is exactly 0 for an empty label sequence and
+    ~inf otherwise, with zero gradient in BOTH grad paths (the DP reads
+    frame 0's scores unconditionally; the readout must correct for it).
+    Unreachable via the loader drop rule (data_loader.py:139-156) but the
+    op stands on its own."""
+    import jax
+    import jax.numpy as jnp
+    from asr_dfcnn_transformer_tpu.ops.ctc import ctc_loss
+
+    logits = jnp.asarray(
+        np.random.default_rng(7).standard_normal((3, 6, 5)), jnp.float32)
+    ll = jnp.asarray([0, 0, 6], jnp.int32)
+    labs = jnp.asarray([[0, 0], [1, 0], [1, 0]], jnp.int32)
+    labl = jnp.asarray([0, 1, 1], jnp.int32)
+    for analytic in (True, False):
+        loss = np.asarray(ctc_loss(logits, ll, labs, labl,
+                                   analytic_grad=analytic))
+        assert loss[0] == 0.0, loss
+        assert loss[1] >= 1e29, loss
+        assert 0.0 < loss[2] < 100.0, loss
+
+        def f(lg):
+            return jnp.sum(jnp.minimum(
+                ctc_loss(lg, ll, labs, labl, analytic_grad=analytic), 1e9))
+        g = np.asarray(jax.grad(f)(logits))
+        assert np.all(g[0] == 0.0) and np.all(g[1] == 0.0)
+        assert np.any(g[2] != 0.0)
