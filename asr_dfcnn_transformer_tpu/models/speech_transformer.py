@@ -88,6 +88,69 @@ class DualAxisAttentionBlock(nn.Module):
         return x + y
 
 
+class Stride2Conv(nn.Module):
+    """First pre-net conv (3x3, stride 2, C_in=1) with an optional exact
+    space-to-depth execution path.
+
+    A C_in=1 conv is the worst MXU shape there is (the contraction depth
+    is the 9-tap window; cf. the AM stage-1 analysis, DESIGN.md §9).
+    ``layout="pack"`` re-expresses the SAME/stride-2 conv exactly: 2x2
+    input patches fold into 4 channels ([B,T,F,1] -> [B,T/2,F/2,4], a pure
+    relayout) and the 3x3 kernel embeds into a 2x2x4 kernel (7 of 16 taps
+    zero) applied at stride 1 — identical math (same taps, same zeros),
+    checkpoint-identical parameters (kernel [3,3,1,C] + bias, the same
+    tree ``nn.Conv`` stores), 4x the contraction depth for the MXU.
+
+    ``layout``: "plain" (the nn.Conv-equivalent direct conv), "pack", or
+    "auto". "auto" currently resolves to "plain" everywhere: the packed
+    path's win is not yet measured on hardware (flip here once it is —
+    FbankConfig "auto"-crossover convention). Odd T/F fall back to plain
+    (the packing needs even extents).
+    """
+
+    features: int
+    layout: str = "auto"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, f, cin = x.shape
+        if cin != 1:
+            raise ValueError(f"Stride2Conv packs C_in=1 inputs, got {cin}")
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        w = kernel.astype(self.dtype)
+        layout = self.layout
+        if layout == "auto":
+            layout = "plain"    # packed win unmeasured; see docstring
+        if layout not in ("plain", "pack"):
+            raise ValueError(f"layout must be auto|plain|pack, got "
+                             f"{self.layout!r}")
+        if layout == "pack" and t % 2 == 0 and f % 2 == 0:
+            # xp[u, v, 2*py + px] = x[2u+py, 2v+px]
+            xp = x.reshape(b, t // 2, 2, f // 2, 2, 1)
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, t // 2, f // 2, 4)
+            # SAME padding for stride 2 / size 3 / even extent is (0, 1):
+            # out[u] reads rows {2u, 2u+1, 2u+2} = packed rows {u, u+1}
+            w2 = jnp.zeros((2, 2, 4, self.features), self.dtype)
+            for a, py, dy in ((0, 0, 0), (0, 1, 1), (1, 0, 2)):
+                for c, px, dx in ((0, 0, 0), (0, 1, 1), (1, 0, 2)):
+                    w2 = w2.at[a, c, 2 * py + px, :].set(w[dy, dx, 0, :])
+            y = jax.lax.conv_general_dilated(
+                xp, w2, window_strides=(1, 1),
+                padding=((0, 1), (0, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
 class PreNet(nn.Module):
     """2x stride-2 conv(tanh)+BN + 2 dual-axis attention blocks
     (model.py:214-264)."""
@@ -96,17 +159,24 @@ class PreNet(nn.Module):
     num_attn_blocks: int = 2
     num_heads: int = 1           # see DualAxisAttentionBlock.num_heads
     fused: str = "auto"          # see MultiHeadAttention.fused
+    conv1_layout: str = "auto"   # see Stride2Conv.layout
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # x: [B, T, F, 1]
-        for i in range(2):
-            x = nn.Conv(self.channels, (3, 3), strides=(2, 2),
-                        padding="SAME", dtype=self.dtype)(x)
-            x = jnp.tanh(x)
-            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                             dtype=self.dtype)(x)
+        # x: [B, T, F, 1]. The first conv's C_in=1 shape gets the
+        # Stride2Conv treatment; parameter paths stay Conv_0/Conv_1
+        # exactly as the previous two-nn.Conv stack stored them.
+        x = Stride2Conv(self.channels, layout=self.conv1_layout,
+                        dtype=self.dtype, name="Conv_0")(x)
+        x = jnp.tanh(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype, name="BatchNorm_0")(x)
+        x = nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                    padding="SAME", dtype=self.dtype, name="Conv_1")(x)
+        x = jnp.tanh(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype, name="BatchNorm_1")(x)
         for i in range(self.num_attn_blocks):
             x = DualAxisAttentionBlock(self.channels,
                                        num_heads=self.num_heads,
@@ -125,6 +195,7 @@ class SpeechTransformer(nn.Module):
     prenet_channels: int = 64
     prenet_heads: int = 1        # reshape-only; see DualAxisAttentionBlock
     prenet_fused: str = "auto"   # see MultiHeadAttention.fused
+    prenet_conv1_layout: str = "auto"  # see Stride2Conv.layout
     dropout_rate: float = 0.1
     position_max_length: int = 512
     parity_decoder: bool = False  # True = reference's cross-attention-only decoder
@@ -133,7 +204,9 @@ class SpeechTransformer(nn.Module):
     def setup(self):
         self.prenet = PreNet(self.prenet_channels,
                              num_heads=self.prenet_heads,
-                             fused=self.prenet_fused, dtype=self.dtype)
+                             fused=self.prenet_fused,
+                             conv1_layout=self.prenet_conv1_layout,
+                             dtype=self.dtype)
         self.enc_proj = nn.Dense(self.d_model, dtype=self.dtype)
         self.enc_ln = nn.LayerNorm(dtype=self.dtype)
         self.enc_pos = LearnedPositionEmbed(self.position_max_length,
