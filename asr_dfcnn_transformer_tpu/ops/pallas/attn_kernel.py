@@ -57,6 +57,14 @@ def _pack_geometry(t: int) -> tuple[int, int, int]:
     """
     tp = _round_up(max(t, 1), 16)
     p = max(1, _TARGET_S // tp)
+    # Packing LONG rows (tp >= 128, ROADMAP round-5 idea "multi-(b,row)
+    # pair packing") loses by tile arithmetic, so P stays 1 there: the
+    # scores dot [Tp,C]x[C,Tp] at Tp=144 costs ceil(144/128)^2 = 4 MXU
+    # tile-passes per row; P=2 block-diagonal packing costs
+    # ceil(288/128)^2 = 9 per TWO rows = 4.5/row (plus 2x the softmax
+    # lanes). The K=64->128 zero-padding is paid identically either way,
+    # so there is nothing to amortize — only the M/N tile rounding
+    # changes, and it rounds worse for every P >= 2 once tp > 64.
     return tp, p, p * tp
 
 
