@@ -1,0 +1,116 @@
+"""On-hardware measurement for the pending ``auto`` crossovers.
+
+Two round-4 features ship with an exactness-tested fast path that
+``auto`` does NOT yet select, pending a real-TPU measurement (the
+FbankConfig auto-crossover convention — never flip a default on an
+estimate):
+
+1. ``models/speech_transformer.py:Stride2Conv(layout="pack")`` — the
+   e2e pre-net's C_in=1 3x3 stride-2 conv re-expressed as a 2x2x4
+   stride-1 conv on space-to-depth-packed input (4x contraction depth).
+2. ``ops/matfft.py:irfft_matmul(epilogue="pallas")`` — the iFFT's two
+   XLA relayout passes fused into one read-z/write-x Pallas kernel
+   (``ops/pallas/fft_epilogue.py``).
+
+Run ``python tools/measure_autos.py`` on the TPU; it slope-times each
+variant at the shapes the benchmarks actually use (bench.py's
+methodology — see its module docstring for the three tunneled-backend
+traps this defeats) and prints one JSON object per experiment. Flip the
+``auto`` resolution at the two marked sites once the winner is measured,
+and record the numbers in DESIGN.md §9.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402  (repo-root bench.py: _scan_time + constants)
+
+
+def measure_stride2conv(batches=(8, 64), smoke=False):
+    import jax
+    import jax.numpy as jnp
+
+    from asr_dfcnn_transformer_tpu.models.speech_transformer import (
+        Stride2Conv)
+
+    t_frames, f_dim = (64, 16) if smoke else (bench.FRAMES, 80)
+    out = {}
+    for b in batches:
+        x0 = jnp.asarray(
+            0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                    (b, t_frames, f_dim, 1)), jnp.float32)
+        for layout in ("plain", "pack"):
+            mod = Stride2Conv(64, layout=layout)
+            params = mod.init(jax.random.PRNGKey(1), x0)
+
+            def fwd(x, i):
+                return mod.apply(params, x)
+
+            def fwdbwd(x, i):
+                def loss(p, x):
+                    y = mod.apply(p, x)
+                    return jnp.sum(jnp.square(y.astype(jnp.float32)))
+                return jax.grad(loss, argnums=(0, 1))(params, x)
+
+            dt_f, _ = bench._scan_time(fwd, x0, iters=60)
+            dt_g, _ = bench._scan_time(fwdbwd, x0, iters=60)
+            out[f"b{b}_{layout}"] = {"fwd_ms": round(1e3 * dt_f, 3),
+                                     "fwdbwd_ms": round(1e3 * dt_g, 3)}
+        out[f"b{b}_speedup"] = {
+            k: round(out[f"b{b}_plain"][k] / out[f"b{b}_pack"][k], 2)
+            for k in ("fwd_ms", "fwdbwd_ms")}
+    return out
+
+
+def measure_fft_epilogue(batch=128, smoke=False):
+    import jax
+    import jax.numpy as jnp
+
+    from asr_dfcnn_transformer_tpu.ops.matfft import irfft_matmul
+
+    if smoke:
+        batch = 2
+    n = 1024 if smoke else 262144  # noise path: next pow2 >= N_SAMPLES
+    nbins = n // 2 + 1
+    spec = jnp.asarray(jax.random.normal(jax.random.PRNGKey(0),
+                                         (2, batch, nbins)), jnp.float32)
+    out = {}
+    for ep in ("xla", "pallas"):
+        def body(s, i, ep=ep):
+            return jax.vmap(lambda r, m: irfft_matmul(
+                r, m, n, compute_dtype=jnp.bfloat16, epilogue=ep))(
+                    s[0], s[1])
+
+        dt, _ = bench._scan_time(body, spec, iters=30)
+        out[ep + "_ms"] = round(1e3 * dt, 3)
+    out["speedup"] = round(out["xla_ms"] / out["pallas_ms"], 2)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", default="all",
+                    choices=["all", "stride2conv", "fft_epilogue"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to CPU (harness smoke-test only)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes (harness smoke-test only)")
+    args = ap.parse_args()
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print(json.dumps({"device": jax.devices()[0].device_kind}))
+    if args.which in ("all", "stride2conv"):
+        print(json.dumps(
+            {"stride2conv": measure_stride2conv(smoke=args.smoke)}))
+    if args.which in ("all", "fft_epilogue"):
+        print(json.dumps(
+            {"fft_epilogue": measure_fft_epilogue(smoke=args.smoke)}))
+
+
+if __name__ == "__main__":
+    main()
