@@ -108,7 +108,8 @@ def _total_from_alpha(alpha_last, label_lengths, logit_lengths):
     # (alpha0 is built from lp[:, 0]), so correct the readout here:
     # log P = 0 for an empty label sequence, -inf otherwise. Unreachable
     # through the data layer (the loader drops label >= length rows,
-    # data_loader.py:139-156) but the op must stand on its own.
+    # data/loader.py:137-143; ref end2end/data_loader.py:134-137) but
+    # the op must stand on its own.
     empty_ok = jnp.where(label_lengths > 0, _NEG_INF, 0.0)
     return jnp.where(logit_lengths > 0, total, empty_ok)
 

@@ -647,7 +647,17 @@ def main():
                                       str(max(300.0, deadline - 1500.0))))
     dev_info = {"device": "unknown"}
     suite = {}
-    emitted = [False]
+    # emitted: the line is out; in_emit: per-thread "inside emit()" marker
+    # (set BEFORE the lock — signal handlers run on the interrupted thread,
+    # so a handler re-entering emit() on the lock-holding thread must be
+    # detected without touching the lock); exit_after: exit code a handler
+    # deferred to the emit it interrupted (see on_term). A plain bool +
+    # Lock deadlocked when SIGTERM landed while the MAIN thread was inside
+    # emit() — the handler blocked forever on the non-reentrant lock,
+    # producing the exact no-stdout-line failure the handlers exist to
+    # prevent.
+    emit_state = {"emitted": False, "exit_after": None}
+    in_emit = threading.local()
     emit_lock = threading.Lock()
 
     def emit(note=None):
@@ -655,28 +665,42 @@ def main():
         enough for the driver's ~2000-char tail capture, strictly
         parseable (allow_nan=False + self re-parse in _strict_line).
         Single-shot: the watchdog and the normal path may race."""
-        with emit_lock:
-            if emitted[0]:
-                return
-            emitted[0] = True
-            head = suite.get("am_lm_b128", {})
-            if "utts_per_sec" not in head:  # headline errored: first good
-                head = next((v for v in suite.values()
-                             if "utts_per_sec" in v), {})
-            utts = head.get("utts_per_sec", 0.0)
-            extra = {"device": dev_info["device"],
-                     "suite": _compact_suite(suite),
-                     "full": "BENCH_FULL.json"}
-            if note:
-                extra["note"] = note
-            print(_strict_line({
-                "metric": "am_lm_inference_utts_per_sec_per_chip",
-                "value": utts,
-                "unit": "utterances/sec/chip (worst-case 16s utts, "
-                        "batch %d)" % batch,
-                "vs_baseline": round(utts / 1000.0, 3),
-                "extra": extra,
-            }), flush=True)
+        if getattr(in_emit, "active", False):
+            return  # signal handler interrupted THIS thread's own emit:
+            # the outer call resumes and finishes the line after the
+            # handler returns — re-entering would deadlock (Lock) or
+            # interleave two half-written lines (RLock)
+        in_emit.active = True
+        try:
+            with emit_lock:
+                if emit_state["emitted"]:
+                    return
+                _emit_line(note)
+                emit_state["emitted"] = True
+        finally:
+            in_emit.active = False
+            if emit_state["exit_after"] is not None:
+                os._exit(emit_state["exit_after"])
+
+    def _emit_line(note):
+        head = suite.get("am_lm_b128", {})
+        if "utts_per_sec" not in head:  # headline errored: first good
+            head = next((v for v in suite.values()
+                         if "utts_per_sec" in v), {})
+        utts = head.get("utts_per_sec", 0.0)
+        extra = {"device": dev_info["device"],
+                 "suite": _compact_suite(suite),
+                 "full": "BENCH_FULL.json"}
+        if note:
+            extra["note"] = note
+        print(_strict_line({
+            "metric": "am_lm_inference_utts_per_sec_per_chip",
+            "value": utts,
+            "unit": "utterances/sec/chip (worst-case 16s utts, "
+                    "batch %d)" % batch,
+            "vs_baseline": round(utts / 1000.0, 3),
+            "extra": extra,
+        }), flush=True)
 
     def watchdog():
         time.sleep(max(0.0, deadline - (time.time() - t0)))
@@ -690,6 +714,14 @@ def main():
     threading.Thread(target=watchdog, daemon=True).start()
 
     def on_term(signum, frame):    # an external cap usually TERMs first:
+        if getattr(in_emit, "active", False):
+            # we interrupted this very thread's in-progress emit (Python
+            # runs signal handlers on the main thread, which is also the
+            # thread that calls emit() on the unreachable-tunnel and
+            # normal paths): let it resume and finish the line, then die
+            # with our code — _exit here would cut the line short
+            emit_state["exit_after"] = 4
+            return
         try:                       # get the partial line out before dying
             emit(note=f"terminated by signal {signum}; partial suite")
         finally:

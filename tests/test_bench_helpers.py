@@ -165,8 +165,12 @@ def test_bench_sigterm_during_probe_wait_emits_line(tmp_path):
     can hold for ~65 min during an outage — exactly when an external
     wall-clock cap fires) must also flush the one strict line: the
     handlers are installed BEFORE the probe loop."""
-    env = dict(os.environ, JAX_PLATFORMS="tpu",  # no TPU plugin here ->
-               # the probe subprocess fails -> bench stays in the loop
+    env = dict(os.environ,
+               # a guaranteed-unknown platform name: the probe subprocess
+               # fails on ANY machine (JAX_PLATFORMS="tpu" would succeed
+               # on a real TPU host and silently skip the probe loop) ->
+               # bench stays in the loop
+               JAX_PLATFORMS="no_such_platform",
                ASR_TPU_BENCH_DEADLINE="600", ASR_TPU_BENCH_PROBE_WAIT="300",
                ASR_TPU_COMPILE_CACHE=str(tmp_path))
     env.pop("ASR_TPU_BENCH_CPU", None)

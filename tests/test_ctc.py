@@ -310,8 +310,8 @@ def test_ctc_loss_zero_logit_length_rows():
     """Zero valid frames: NLL is exactly 0 for an empty label sequence and
     ~inf otherwise, with zero gradient in BOTH grad paths (the DP reads
     frame 0's scores unconditionally; the readout must correct for it).
-    Unreachable via the loader drop rule (data_loader.py:139-156) but the
-    op stands on its own."""
+    Unreachable via the loader drop rule (data/loader.py:137-143; ref
+    end2end/data_loader.py:134-137) but the op stands on its own."""
     import jax
     import jax.numpy as jnp
     from asr_dfcnn_transformer_tpu.ops.ctc import ctc_loss

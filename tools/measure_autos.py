@@ -30,6 +30,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import bench  # noqa: E402  (repo-root bench.py: _scan_time + constants)
 
 
+def _ratio(num_dt: float, den_dt: float):
+    """Speedup from RAW slope-timed seconds (never the rounded ms — a
+    fast variant that rounds to 0.0 ms would ZeroDivisionError away the
+    whole session); None when either slope is non-positive (noise-level
+    work: the two-scan difference can legitimately come out <= 0)."""
+    if num_dt <= 0 or den_dt <= 0:
+        return None
+    return round(num_dt / den_dt, 2)
+
+
 def measure_stride2conv(batches=(8, 64), smoke=False):
     import jax
     import jax.numpy as jnp
@@ -43,6 +53,7 @@ def measure_stride2conv(batches=(8, 64), smoke=False):
         x0 = jnp.asarray(
             0.1 * jax.random.normal(jax.random.PRNGKey(0),
                                     (b, t_frames, f_dim, 1)), jnp.float32)
+        dts = {}
         for layout in ("plain", "pack"):
             mod = Stride2Conv(64, layout=layout)
             params = mod.init(jax.random.PRNGKey(1), x0)
@@ -51,18 +62,23 @@ def measure_stride2conv(batches=(8, 64), smoke=False):
                 return mod.apply(params, x)
 
             def fwdbwd(x, i):
-                def loss(p, x):
+                # params-only grad: this is the FIRST layer, so a real
+                # train step never computes dL/dx here — including it
+                # (argnums=(0, 1)) would add a dgrad conv whose cost
+                # differs between the two layouts and skew the crossover
+                def loss(p):
                     y = mod.apply(p, x)
                     return jnp.sum(jnp.square(y.astype(jnp.float32)))
-                return jax.grad(loss, argnums=(0, 1))(params, x)
+                return jax.grad(loss)(params)
 
             dt_f, _ = bench._scan_time(fwd, x0, iters=60)
             dt_g, _ = bench._scan_time(fwdbwd, x0, iters=60)
+            dts[layout] = (dt_f, dt_g)
             out[f"b{b}_{layout}"] = {"fwd_ms": round(1e3 * dt_f, 3),
                                      "fwdbwd_ms": round(1e3 * dt_g, 3)}
         out[f"b{b}_speedup"] = {
-            k: round(out[f"b{b}_plain"][k] / out[f"b{b}_pack"][k], 2)
-            for k in ("fwd_ms", "fwdbwd_ms")}
+            "fwd": _ratio(dts["plain"][0], dts["pack"][0]),
+            "fwdbwd": _ratio(dts["plain"][1], dts["pack"][1])}
     return out
 
 
@@ -78,7 +94,7 @@ def measure_fft_epilogue(batch=128, smoke=False):
     nbins = n // 2 + 1
     spec = jnp.asarray(jax.random.normal(jax.random.PRNGKey(0),
                                          (2, batch, nbins)), jnp.float32)
-    out = {}
+    out, dts = {}, {}
     for ep in ("xla", "pallas"):
         def body(s, i, ep=ep):
             return jax.vmap(lambda r, m: irfft_matmul(
@@ -86,8 +102,9 @@ def measure_fft_epilogue(batch=128, smoke=False):
                     s[0], s[1])
 
         dt, _ = bench._scan_time(body, spec, iters=30)
+        dts[ep] = dt
         out[ep + "_ms"] = round(1e3 * dt, 3)
-    out["speedup"] = round(out["xla_ms"] / out["pallas_ms"], 2)
+    out["speedup"] = _ratio(dts["xla"], dts["pallas"])
     return out
 
 
@@ -100,9 +117,37 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes (harness smoke-test only)")
     args = ap.parse_args()
+    import os
+    import subprocess
+
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:  # same persistent compile cache as bench.py: reruns after a
+        # crash or tunnel drop must not repay minutes of compiles
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("ASR_TPU_COMPILE_CACHE", str(
+                Path(__file__).resolve().parent.parent / ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if not args.cpu:
+        # probe the tunnel in a SUBPROCESS before dispatching (an
+        # in-process init against a dead tunnel hangs indefinitely —
+        # CLAUDE.md "probe before long TPU jobs")
+        code = ("import jax, jax.numpy as jnp;"
+                "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=180,
+                               capture_output=True, text=True)
+            ok = "PROBE 16384.0" in (r.stdout or "")
+        except Exception:  # noqa: BLE001 — timeout or spawn failure
+            ok = False
+        if not ok:
+            print(json.dumps({"error": "TPU tunnel unreachable; "
+                              "not dispatching"}))
+            sys.exit(1)
     print(json.dumps({"device": jax.devices()[0].device_kind}))
     if args.which in ("all", "stride2conv"):
         print(json.dumps(
