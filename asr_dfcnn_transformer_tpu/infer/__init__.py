@@ -1,5 +1,9 @@
 """Inference & evaluation: batched AM->LM pipeline, streaming, weight import."""
 
+from asr_dfcnn_transformer_tpu.infer.export_serving import (  # noqa: F401
+    ServingPipeline,
+    export_pipeline,
+)
 from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline, EvalResult  # noqa: F401
 from asr_dfcnn_transformer_tpu.infer.serving import BatchingServer, ServerStats  # noqa: F401
 from asr_dfcnn_transformer_tpu.infer.streaming import StreamingRecognizer  # noqa: F401

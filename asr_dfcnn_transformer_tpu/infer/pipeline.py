@@ -39,6 +39,40 @@ from asr_dfcnn_transformer_tpu.ops import ctc_beam_search_decode, ctc_greedy_dec
 from asr_dfcnn_transformer_tpu.ops.edit_distance import edit_distance
 
 
+def pipeline_program(am_model, am_variables, lm_model, lm_variables,
+                     signals, signal_lengths, bucket_frames, *,
+                     fbank_cfg: FbankConfig, decode: str, beam_width: int,
+                     lm_max_len: int):
+    """The traced body of the fused AM->LM inference program: device-side
+    fbank -> DFCNN forward -> CTC decode -> LM argmax, one XLA program
+    (the reference's test.py:25-101 chain minus its per-utterance
+    sessions). Shared by ``Pipeline._build_infer`` and the AOT serving
+    exporter (``infer/export_serving.py``) so the exported artifact is
+    the exact live program."""
+    feats, _ = batched_fbank(signals, signal_lengths, cfg=fbank_cfg,
+                             out_frames=bucket_frames)
+    logits = am_model.apply(am_variables, feats[..., None], train=False)
+    in_len = logit_lengths(frames_from_samples(signal_lengths),
+                           logits.shape[1])
+    if decode == "beam":
+        pny_ids, pny_len, _ = ctc_beam_search_decode(
+            logits, in_len, beam_width=beam_width, topk=beam_width,
+            blank_id=-1, max_decode_len=lm_max_len)
+    else:
+        pny_ids, pny_len = ctc_greedy_decode(
+            logits, in_len, blank_id=-1, max_output_len=lm_max_len)
+    han_ids = None
+    if lm_model is not None:
+        # the reference feeds the decoded dense pinyin ids straight
+        # into the LM (test.py:57-60); padding id 0 = PAD
+        lm_logits = lm_model.apply(lm_variables, pny_ids, train=False)
+        han_ids = jnp.argmax(lm_logits, axis=-1).astype(jnp.int32)
+        han_ids = jnp.where(
+            jnp.arange(han_ids.shape[1])[None, :] < pny_len[:, None],
+            han_ids, 0)
+    return pny_ids, pny_len, han_ids
+
+
 def infer_bucket_frames(frames: int) -> int:
     """The single-utterance inference bucket: frame count ceil'd to 128,
     capped at FEATURE_MAX_LENGTH. This is THE offline rule the streamed
@@ -143,33 +177,12 @@ class Pipeline:
     def _build_infer(self):
         @functools.partial(jax.jit, static_argnames=("bucket_frames",))
         def run(signals, signal_lengths, bucket_frames):
-            feats, _ = batched_fbank(signals, signal_lengths,
-                                     cfg=self.fbank_cfg,
-                                     out_frames=bucket_frames)
-            logits = self.am_model.apply(self.am_variables, feats[..., None],
-                                         train=False)
-            in_len = logit_lengths(frames_from_samples(signal_lengths),
-                                   logits.shape[1])
-            if self.decode == "beam":
-                pny_ids, pny_len, _ = ctc_beam_search_decode(
-                    logits, in_len, beam_width=self.beam_width,
-                    topk=self.beam_width, blank_id=-1,
-                    max_decode_len=self.lm_max_len)
-            else:
-                pny_ids, pny_len = ctc_greedy_decode(
-                    logits, in_len, blank_id=-1,
-                    max_output_len=self.lm_max_len)
-            han_ids = None
-            if self.lm_model is not None:
-                # the reference feeds the decoded dense pinyin ids straight
-                # into the LM (test.py:57-60); padding id 0 = PAD
-                lm_logits = self.lm_model.apply(self.lm_variables, pny_ids,
-                                                train=False)
-                han_ids = jnp.argmax(lm_logits, axis=-1).astype(jnp.int32)
-                han_ids = jnp.where(
-                    jnp.arange(han_ids.shape[1])[None, :] < pny_len[:, None],
-                    han_ids, 0)
-            return pny_ids, pny_len, han_ids
+            return pipeline_program(
+                self.am_model, self.am_variables,
+                self.lm_model, self.lm_variables,
+                signals, signal_lengths, bucket_frames,
+                fbank_cfg=self.fbank_cfg, decode=self.decode,
+                beam_width=self.beam_width, lm_max_len=self.lm_max_len)
 
         return run
 

@@ -145,6 +145,25 @@ def _build_parser():
                     help="export the latest checkpoint instead of the "
                          "metric-gated best")
     sp.add_argument("--platform", default=None)
+
+    sp = sub.add_parser(
+        "export-serving",
+        help="serialize the fused AM->LM inference program + weights + "
+             "vocabs into ONE self-contained artifact (jax.export "
+             "StableHLO) servable without model code or checkpoints")
+    common(sp)
+    sp.add_argument("--out", required=True, help="artifact path (.asrx)")
+    sp.add_argument("--model", default="se_dfcnn",
+                    choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
+                             "se_dfcnn_fast", "keras_dfcnn", "bigru"])
+    sp.add_argument("--decode", default="greedy",
+                    choices=["greedy", "beam"])
+    sp.add_argument("--beam-width", type=int, default=8)
+    sp.add_argument("--serve-batch-sizes", default="1,8",
+                    help="comma-separated batch sizes to export entry "
+                         "points for")
+    sp.add_argument("--serve-buckets", default="128,512,1600",
+                    help="comma-separated bucket_frames (multiples of 8)")
     return p
 
 
@@ -685,6 +704,23 @@ def cmd_export(args):
     print(f"exported {args.what} {args.format} -> {args.out}")
 
 
+def cmd_export_serving(args):
+    """One self-contained serving artifact: the live pipeline's exact
+    jitted program (jax.export) + weights + vocab tables."""
+    from asr_dfcnn_transformer_tpu.infer.export_serving import (
+        export_pipeline)
+    pipe, _, _ = _load_pipeline(args, args.decode,
+                                beam_width=args.beam_width)
+    batch_sizes = tuple(int(x) for x in
+                        args.serve_batch_sizes.split(",") if x)
+    buckets = tuple(int(x) for x in args.serve_buckets.split(",") if x)
+    meta = export_pipeline(pipe, args.out, batch_sizes=batch_sizes,
+                           buckets=buckets)
+    print(f"exported serving artifact -> {args.out} "
+          f"({len(meta['programs'])} entry points, "
+          f"decode={meta['decode']}, lm={meta['has_lm']})")
+
+
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     _setup_platform(args)
@@ -693,7 +729,8 @@ def main(argv=None):
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
      "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,
      "eval-e2e": cmd_eval_e2e, "eval-atten": cmd_eval_atten,
-     "infer": cmd_infer, "export": cmd_export}[args.cmd](args)
+     "infer": cmd_infer, "export": cmd_export,
+     "export-serving": cmd_export_serving}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -248,6 +248,27 @@ def test_cli_export_tf1(workdir):
                                       err_msg=str(k))
 
 
+def test_cli_export_serving_artifact(workdir):
+    """export-serving writes a self-contained artifact whose loaded
+    programs agree with the live pipeline (depends on test_cli_am_train /
+    test_cli_lm_train having run)."""
+    import numpy as np
+
+    from asr_dfcnn_transformer_tpu.infer.export_serving import (
+        ServingPipeline)
+    out = os.path.join(workdir, "export", "pipe.asrx")
+    cli.main(["export-serving", "--workdir", workdir, "--synthetic", "16",
+              "--small", "--batch-size", "8", "--out", out,
+              "--serve-batch-sizes", "2", "--serve-buckets", "128"])
+    served = ServingPipeline.load(out)
+    wav = os.path.join(workdir, "synthetic", "wav", "test", "utt_0.wav")
+    from asr_dfcnn_transformer_tpu.audio.wav import read_wav
+    sig, _ = read_wav(wav)
+    pinyin, hanzi = served.recognize_signal(np.asarray(sig))
+    assert isinstance(pinyin, list) and isinstance(hanzi, str)
+    assert served.meta["has_lm"] and len(served.meta["programs"]) == 1
+
+
 def test_cli_export_and_eval_lm_tf1(tmp_path, capsys):
     """Round trip the LM through the reference's TF1 Saver format:
     train -> export --what lm -> eval-lm --lm-tf-ckpt (in a workdir with
