@@ -1,8 +1,11 @@
 """Inference & evaluation: batched AM->LM pipeline, streaming, weight import."""
 
 from asr_dfcnn_transformer_tpu.infer.export_serving import (  # noqa: F401
+    E2EServing,
     ServingPipeline,
+    export_e2e,
     export_pipeline,
+    load_artifact,
 )
 from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline, EvalResult  # noqa: F401
 from asr_dfcnn_transformer_tpu.infer.serving import BatchingServer, ServerStats  # noqa: F401

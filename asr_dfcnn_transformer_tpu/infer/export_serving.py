@@ -1,28 +1,37 @@
-"""AOT serving export: the fused AM->LM inference program serialized to
-one self-contained artifact.
+"""AOT serving export: inference programs serialized to self-contained
+artifacts.
 
-The live ``Pipeline`` needs the Flax model code, the checkpoint layout
-and the vocab assets at import time. A serving fleet wants none of that:
-it wants a versioned artifact that executes the exact program the model
-was validated with. This module serializes the pipeline's jitted program
-(``pipeline.pipeline_program`` — fbank -> AM -> CTC decode -> LM argmax,
-one XLA computation) via ``jax.export`` (StableHLO with compatibility
-guarantees) plus the weights and vocab tables, into a single ``.zip``:
+The live ``Pipeline`` / e2e decode helpers need the Flax model code, the
+checkpoint layout and the vocab assets at import time. A serving fleet
+wants none of that: it wants a versioned artifact that executes the
+exact program the model was validated with. This module serializes the
+jitted inference programs via ``jax.export`` (StableHLO with
+compatibility guarantees) plus the weights and vocab tables, into a
+single ``.zip``:
 
-    meta.json            format version, decode config, program table,
-                         param key order, vocab word lists
-    params.npz           every AM/LM array (stored once, shared by all
+    meta.json            format version, artifact kind, decode config,
+                         program table, param-group sizes, vocab lists
+    params.npz           every weight array (stored once, shared by all
                          exported entry points)
     prog_b{B}_f{F}.bin   serialized jax.export.Exported per
                          (batch, bucket_frames) combination
 
-``ServingPipeline.load`` then serves ``recognize_batch`` /
-``recognize_signal`` with NO model code, checkpoints or asset files —
-only jax + numpy and this loader. Larger batches are served by chunking
-over the largest exported batch size; frame counts pick the smallest
-exported bucket that fits (the ``infer_bucket_frames`` rule clamps to
-the largest exported bucket, truncating the tail like the live
-``recognize_signal`` does).
+Two artifact kinds:
+
+- ``am_lm`` (``export_pipeline``): the fused fbank -> DFCNN -> CTC
+  decode -> LM argmax program (``pipeline.pipeline_program`` — the exact
+  body the live ``Pipeline`` jits). Served by ``ServingPipeline``.
+- ``e2e`` (``export_e2e``): fbank -> LFR -> SpeechTransformer encoder ->
+  KV-cached AR decode (greedy or length-penalized beam — the decode the
+  reference stubbed at end2end/model.py:331-337). Served by
+  ``E2EServing``.
+
+``load_artifact`` dispatches on the kind. Loaders need NO model code,
+checkpoints or asset files — only jax + numpy and this module. Larger
+batches are served by chunking over the largest exported batch size;
+frame counts pick the smallest exported bucket that fits (clamping to
+the largest exported bucket truncates the tail, like the live
+``recognize_signal``).
 
 Backend note: auto-selected compute paths (Pallas fbank kernel, Pallas
 beam backend) resolve on the EXPORTING machine — export on TPU to embed
@@ -38,6 +47,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import zipfile
 from typing import List, Optional, Sequence, Tuple
 
@@ -58,6 +68,80 @@ def _samples_for_bucket(bucket_frames: int) -> int:
     return (bucket_frames - 1) * 160 + 400
 
 
+def _spec(x):
+    return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+
+def _export_programs(fn_for_bucket, param_specs, batch_sizes, buckets,
+                     platforms):
+    """(programs table, {file: blob}) for every (batch, bucket) pair.
+    ``fn_for_bucket(bucket)`` returns the traced callable
+    ``fn(param_group_leaves..., signals, lengths)``."""
+    from jax import export as jax_export
+
+    programs, blobs = [], {}
+    for bucket in sorted(set(int(b) for b in buckets)):
+        if bucket % 8:
+            raise ValueError(f"bucket_frames must be multiples of 8, "
+                             f"got {bucket}")
+        samples = _samples_for_bucket(bucket)
+        fn = fn_for_bucket(bucket)
+        for batch in sorted(set(int(b) for b in batch_sizes)):
+            exp = jax_export.export(
+                jax.jit(fn),
+                platforms=list(platforms) if platforms else None)(
+                    *param_specs,
+                    jax.ShapeDtypeStruct((batch, samples), jnp.float32),
+                    jax.ShapeDtypeStruct((batch,), jnp.int32))
+            name = f"prog_b{batch}_f{bucket}.bin"
+            blobs[name] = exp.serialize()
+            programs.append({"batch": batch, "bucket": bucket,
+                             "samples": samples, "file": name})
+    return programs, blobs
+
+
+def _write_artifact(path, meta, param_groups, blobs):
+    """param_groups: {group_name: [leaves]} -> params.npz keys
+    ``{group}/{i:04d}``; counts land in meta["param_groups"]."""
+    meta = dict(meta, version=_FORMAT_VERSION,
+                param_groups={g: len(v) for g, v in param_groups.items()})
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    npz = io.BytesIO()
+    np.savez(npz, **{f"{g}/{i:04d}": np.asarray(x)
+                     for g, leaves in param_groups.items()
+                     for i, x in enumerate(leaves)})
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("meta.json", json.dumps(meta, ensure_ascii=False))
+        z.writestr("params.npz", npz.getvalue())
+        for name, blob in blobs.items():
+            z.writestr(name, blob)
+    return meta
+
+
+def _read_artifact(path):
+    from jax import export as jax_export
+
+    with zipfile.ZipFile(path, "r") as z:
+        meta = json.loads(z.read("meta.json"))
+        if meta["version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported artifact version {meta['version']}")
+        npz = np.load(io.BytesIO(z.read("params.npz")))
+        groups = {g: [jnp.asarray(npz[f"{g}/{i:04d}"]) for i in range(n)]
+                  for g, n in meta["param_groups"].items()}
+        exported = {(p["batch"], p["bucket"]):
+                    jax_export.deserialize(z.read(p["file"]))
+                    for p in meta["programs"]}
+    return meta, groups, exported
+
+
+def _vocab(symbols) -> Vocab:
+    # last index wins for duplicated symbols (core.vocab._build /
+    # reference data_loader.py:90)
+    return Vocab(tuple(symbols), {s: i for i, s in enumerate(symbols)})
+
+
 def export_pipeline(pipeline: Pipeline, path: str, *,
                     batch_sizes: Sequence[int] = (1, 8),
                     buckets: Sequence[int] = (128, 512, 1600),
@@ -67,21 +151,12 @@ def export_pipeline(pipeline: Pipeline, path: str, *,
     are traced as ARGUMENTS (not baked constants) so the weights are
     stored once in ``params.npz`` no matter how many entry points export.
     Returns the meta dict that was written."""
-    from jax import export as jax_export
-
     am_flat, am_treedef = jax.tree.flatten(pipeline.am_variables)
     lm_flat, lm_treedef = jax.tree.flatten(
         pipeline.lm_variables if pipeline.lm_model is not None else {})
 
-    programs = []
-    blobs = {}
-    for bucket in sorted(set(int(b) for b in buckets)):
-        if bucket % 8:
-            raise ValueError(f"bucket_frames must be multiples of 8, "
-                             f"got {bucket}")
-        samples = _samples_for_bucket(bucket)
-
-        def fn(am_leaves, lm_leaves, signals, lengths, bucket=bucket):
+    def fn_for_bucket(bucket):
+        def fn(am_leaves, lm_leaves, signals, lengths):
             am_vars = jax.tree.unflatten(am_treedef, am_leaves)
             lm_vars = (jax.tree.unflatten(lm_treedef, lm_leaves)
                        if pipeline.lm_model is not None else None)
@@ -94,92 +169,100 @@ def export_pipeline(pipeline: Pipeline, path: str, *,
             if han is None:  # exported signatures must be static
                 han = jnp.zeros_like(pny)
             return pny, pny_len, han
+        return fn
 
-        for batch in sorted(set(int(b) for b in batch_sizes)):
-            spec = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-            exp = jax_export.export(
-                jax.jit(fn),
-                platforms=list(platforms) if platforms else None)(
-                    [spec(x) for x in am_flat],
-                    [spec(x) for x in lm_flat],
-                    jax.ShapeDtypeStruct((batch, samples), jnp.float32),
-                    jax.ShapeDtypeStruct((batch,), jnp.int32))
-            name = f"prog_b{batch}_f{bucket}.bin"
-            blobs[name] = exp.serialize()
-            programs.append({"batch": batch, "bucket": bucket,
-                             "samples": samples, "file": name})
-
+    programs, blobs = _export_programs(
+        fn_for_bucket,
+        ([_spec(x) for x in am_flat], [_spec(x) for x in lm_flat]),
+        batch_sizes, buckets, platforms)
     meta = {
-        "version": _FORMAT_VERSION,
+        "kind": "am_lm",
         "decode": pipeline.decode,
         "beam_width": pipeline.beam_width,
         "feature_dim": pipeline.fbank_cfg.nfilt,
         "lm_max_len": pipeline.lm_max_len,
         "has_lm": pipeline.lm_model is not None,
         "platforms": list(platforms) if platforms else None,
-        "n_am_params": len(am_flat),
-        "n_lm_params": len(lm_flat),
         "programs": programs,
         "acoustic_vocab": list(pipeline.av.symbols),
         "language_vocab": (list(pipeline.lv.symbols)
                            if pipeline.lv is not None else None),
     }
-
-    npz = io.BytesIO()
-    np.savez(npz, **{f"am/{i:04d}": np.asarray(x)
-                     for i, x in enumerate(am_flat)},
-             **{f"lm/{i:04d}": np.asarray(x)
-                for i, x in enumerate(lm_flat)})
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
-        z.writestr("meta.json", json.dumps(meta, ensure_ascii=False))
-        z.writestr("params.npz", npz.getvalue())
-        for name, blob in blobs.items():
-            z.writestr(name, blob)
-    return meta
+    return _write_artifact(path, meta,
+                           {"am": am_flat, "lm": lm_flat}, blobs)
 
 
-class ServingPipeline:
-    """Artifact-only inference: ``load`` + ``recognize_*`` with no model
-    code, checkpoint manager or vocab assets."""
+def export_e2e(model, variables, path: str, *, vocab: Vocab,
+               feature_dim: int = 80, lfr_m: int = 4, lfr_n: int = 3,
+               decode: str = "greedy", beam_width: int = 3,
+               lp_alpha: float = 0.6, max_len: int = 64,
+               batch_sizes: Sequence[int] = (1, 8),
+               buckets: Sequence[int] = (128, 512, 1600),
+               platforms: Optional[Sequence[str]] = None) -> dict:
+    """Serialize the end-to-end SpeechTransformer's full recognition
+    program: fbank -> LFR (E2ETrainer._features composition) -> encoder
+    -> KV-cached AR decode (models.greedy_decode_cached /
+    beam_decode_cached — the decode the reference stubbed,
+    end2end/model.py:331-337). ``vocab`` is the e2e hanzi vocab
+    (pad/sos/eos first)."""
+    from asr_dfcnn_transformer_tpu.audio import batched_fbank
+    from asr_dfcnn_transformer_tpu.audio.fbank import FbankConfig
+    from asr_dfcnn_transformer_tpu.audio.lfr import batched_lfr
+    from asr_dfcnn_transformer_tpu.models import (
+        beam_decode_cached,
+        greedy_decode_cached,
+    )
 
-    def __init__(self, meta: dict, exported: dict, am_leaves, lm_leaves):
+    flat, treedef = jax.tree.flatten(variables)
+    cfg = FbankConfig(nfilt=feature_dim)
+
+    def fn_for_bucket(bucket):
+        def fn(leaves, signals, lengths):
+            v = jax.tree.unflatten(treedef, leaves)
+            feats, valid = batched_fbank(signals, lengths, cfg=cfg,
+                                         out_frames=bucket)
+            lfr, lfr_valid = batched_lfr(feats, valid, lfr_m, lfr_n)
+            feats4 = lfr[..., None]
+            if decode == "beam":
+                ids, lens, _ = beam_decode_cached(
+                    model, v, feats4, lfr_valid, beam_size=beam_width,
+                    lp_alpha=lp_alpha, max_len=max_len)
+            else:
+                ids, lens = greedy_decode_cached(model, v, feats4,
+                                                 lfr_valid,
+                                                 max_len=max_len)
+            return ids, lens
+        return fn
+
+    programs, blobs = _export_programs(
+        fn_for_bucket, ([_spec(x) for x in flat],),
+        batch_sizes, buckets, platforms)
+    meta = {
+        "kind": "e2e",
+        "decode": decode,
+        "beam_width": beam_width,
+        "lp_alpha": lp_alpha,
+        "max_len": max_len,
+        "feature_dim": feature_dim,
+        "lfr_m": lfr_m,
+        "lfr_n": lfr_n,
+        "platforms": list(platforms) if platforms else None,
+        "programs": programs,
+        "language_vocab": list(vocab.symbols),
+    }
+    return _write_artifact(path, meta, {"e2e": flat}, blobs)
+
+
+class _ArtifactBase:
+    """Shared program-selection/padding/chunking machinery."""
+
+    def __init__(self, meta, exported, groups: Sequence):
         self.meta = meta
         self._exported = exported            # (batch, bucket) -> Exported
-        self._am = am_leaves
-        self._lm = lm_leaves
-        self._calls = {}                     # (batch, bucket) -> jitted
-        sym = meta["acoustic_vocab"]
-        self.acoustic_vocab = Vocab(tuple(sym),
-                                    {s: i for i, s in enumerate(sym)})
-        self.language_vocab = None
-        if meta["language_vocab"] is not None:
-            sym = meta["language_vocab"]
-            self.language_vocab = Vocab(tuple(sym),
-                                        {s: i for i, s in enumerate(sym)})
+        self._groups = tuple(groups)         # leaves lists, call order
+        self._calls = {}
         self._batches = sorted({b for b, _ in exported})
         self._buckets = sorted({f for _, f in exported})
-
-    @classmethod
-    def load(cls, path: str) -> "ServingPipeline":
-        from jax import export as jax_export
-
-        with zipfile.ZipFile(path, "r") as z:
-            meta = json.loads(z.read("meta.json"))
-            if meta["version"] != _FORMAT_VERSION:
-                raise ValueError(
-                    f"unsupported artifact version {meta['version']}")
-            npz = np.load(io.BytesIO(z.read("params.npz")))
-            am = [jnp.asarray(npz[f"am/{i:04d}"])
-                  for i in range(meta["n_am_params"])]
-            lm = [jnp.asarray(npz[f"lm/{i:04d}"])
-                  for i in range(meta["n_lm_params"])]
-            exported = {}
-            for p in meta["programs"]:
-                exported[(p["batch"], p["bucket"])] = (
-                    jax_export.deserialize(z.read(p["file"])))
-        return cls(meta, exported, am, lm)
-
-    # -- program selection ------------------------------------------------
 
     def _pick_bucket(self, frames: int) -> int:
         for f in self._buckets:
@@ -193,34 +276,15 @@ class ServingPipeline:
             exp = self._exported[key]
             # params as ARGUMENTS of the wrapper (a closure would bake
             # them into the jitted program as constants)
-            jitted = jax.jit(lambda a, m, s, l: exp.call(a, m, s, l))
+            jitted = jax.jit(lambda *a: exp.call(*a))
             self._calls[key] = (
-                lambda s, l, _j=jitted: _j(self._am, self._lm, s, l))
+                lambda s, l, _j=jitted: _j(*self._groups, s, l))
         return self._calls[key]
 
-    # -- public API -------------------------------------------------------
-
-    def recognize_batch(self, signals: np.ndarray, lengths: np.ndarray
-                        ) -> Tuple[np.ndarray, np.ndarray,
-                                   Optional[np.ndarray]]:
-        """signals [B, S] float32 + lengths [B] -> (pinyin ids [B, L],
-        pinyin lengths [B], hanzi ids [B, L] or None). Batches larger
-        than the largest exported size are served in chunks; smaller
-        ones are zero-padded to the smallest exported size that fits."""
-        signals = np.asarray(signals, np.float32)
-        lengths = np.asarray(lengths, np.int32)
+    def _run_padded(self, signals: np.ndarray, lengths: np.ndarray):
+        """Pad/bucket one sub-batch (n <= largest exported batch) and run
+        it; returns device outputs + the true row count."""
         n = signals.shape[0]
-        max_b = self._batches[-1]
-        if n > max_b:
-            parts = [self.recognize_batch(signals[i:i + max_b],
-                                          lengths[i:i + max_b])
-                     for i in range(0, n, max_b)]
-            pny = np.concatenate([p[0] for p in parts])
-            pln = np.concatenate([p[1] for p in parts])
-            han = (np.concatenate([p[2] for p in parts])
-                   if self.meta["has_lm"] else None)
-            return pny, pln, han
-
         frames = max(1, 1 + (int(lengths.max()) - 400 + 159) // 160)
         bucket = self._pick_bucket(frames)
         samples = _samples_for_bucket(bucket)
@@ -230,12 +294,54 @@ class ServingPipeline:
         buf[:n, :m] = signals[:, :m]
         lens = np.zeros((batch,), np.int32)
         lens[:n] = np.minimum(lengths, samples)
-        pny, pln, han = self._call(batch, bucket)(jnp.asarray(buf),
-                                                  jnp.asarray(lens))
-        pny = np.asarray(pny[:n])
-        pln = np.asarray(pln[:n])
-        han = np.asarray(han[:n]) if self.meta["has_lm"] else None
-        return pny, pln, han
+        return self._call(batch, bucket)(jnp.asarray(buf),
+                                         jnp.asarray(lens)), n
+
+    def _chunked(self, signals: np.ndarray, lengths: np.ndarray):
+        """Yield per-chunk (outputs, n) pairs over the full batch."""
+        signals = np.asarray(signals, np.float32)
+        lengths = np.asarray(lengths, np.int32)
+        if signals.shape[0] == 0:
+            raise ValueError("empty batch")
+        max_b = self._batches[-1]
+        for i in range(0, signals.shape[0], max_b):
+            yield self._run_padded(signals[i:i + max_b],
+                                   lengths[i:i + max_b])
+
+
+class ServingPipeline(_ArtifactBase):
+    """Artifact-only AM->LM inference: ``load`` + ``recognize_*`` with no
+    model code, checkpoint manager or vocab assets."""
+
+    def __init__(self, meta, exported, am_leaves, lm_leaves):
+        super().__init__(meta, exported, (am_leaves, lm_leaves))
+        self.acoustic_vocab = _vocab(meta["acoustic_vocab"])
+        self.language_vocab = (_vocab(meta["language_vocab"])
+                               if meta["language_vocab"] is not None
+                               else None)
+
+    @classmethod
+    def load(cls, path: str) -> "ServingPipeline":
+        meta, groups, exported = _read_artifact(path)
+        if meta.get("kind", "am_lm") != "am_lm":
+            raise ValueError(f"artifact kind {meta.get('kind')!r} is not "
+                             "am_lm; use load_artifact()")
+        return cls(meta, exported, groups["am"], groups["lm"])
+
+    def recognize_batch(self, signals: np.ndarray, lengths: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray,
+                                   Optional[np.ndarray]]:
+        """signals [B, S] float32 + lengths [B] -> (pinyin ids [B, L],
+        pinyin lengths [B], hanzi ids [B, L] or None). Batches larger
+        than the largest exported size are served in chunks; smaller
+        ones are zero-padded to the smallest exported size that fits."""
+        pny, pln, han = [], [], []
+        for (p, l, h), n in self._chunked(signals, lengths):
+            pny.append(np.asarray(p[:n]))
+            pln.append(np.asarray(l[:n]))
+            han.append(np.asarray(h[:n]))
+        return (np.concatenate(pny), np.concatenate(pln),
+                np.concatenate(han) if self.meta["has_lm"] else None)
 
     def recognize_signal(self, signal: np.ndarray
                          ) -> Tuple[List[str], str]:
@@ -250,3 +356,44 @@ class ServingPipeline:
         if han is not None and self.language_vocab is not None:
             hanzi = "".join(self.language_vocab.decode(han[0][:k]))
         return pinyin, hanzi
+
+
+class E2EServing(_ArtifactBase):
+    """Artifact-only end-to-end SpeechTransformer recognition."""
+
+    def __init__(self, meta, exported, leaves):
+        super().__init__(meta, exported, (leaves,))
+        self.language_vocab = _vocab(meta["language_vocab"])
+
+    @classmethod
+    def load(cls, path: str) -> "E2EServing":
+        meta, groups, exported = _read_artifact(path)
+        if meta.get("kind") != "e2e":
+            raise ValueError(f"artifact kind {meta.get('kind')!r} is not "
+                             "e2e; use load_artifact()")
+        return cls(meta, exported, groups["e2e"])
+
+    def recognize_batch(self, signals: np.ndarray, lengths: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """signals [B, S] float32 + lengths [B] -> (hanzi ids [B, L],
+        lengths [B])."""
+        ids, lens = [], []
+        for (i, l), n in self._chunked(signals, lengths):
+            ids.append(np.asarray(i[:n]))
+            lens.append(np.asarray(l[:n]))
+        return np.concatenate(ids), np.concatenate(lens)
+
+    def recognize_signal(self, signal: np.ndarray) -> str:
+        """Single utterance -> hanzi string."""
+        sig = np.asarray(signal, np.float32)[None, :]
+        ids, lens = self.recognize_batch(
+            sig, np.array([sig.shape[1]], np.int32))
+        return "".join(self.language_vocab.decode(ids[0][:int(lens[0])]))
+
+
+def load_artifact(path: str):
+    """Open either artifact kind: ServingPipeline (am_lm) or E2EServing
+    (e2e)."""
+    with zipfile.ZipFile(path, "r") as z:
+        kind = json.loads(z.read("meta.json")).get("kind", "am_lm")
+    return (E2EServing if kind == "e2e" else ServingPipeline).load(path)

@@ -153,6 +153,11 @@ def _build_parser():
              "StableHLO) servable without model code or checkpoints")
     common(sp)
     sp.add_argument("--out", required=True, help="artifact path (.asrx)")
+    sp.add_argument("--what", default="pipeline",
+                    choices=["pipeline", "e2e"],
+                    help="pipeline = fused AM->LM (ServingPipeline); "
+                         "e2e = SpeechTransformer encoder + KV-cached AR "
+                         "decode (E2EServing)")
     sp.add_argument("--model", default="se_dfcnn",
                     choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
                              "se_dfcnn_fast", "keras_dfcnn", "bigru"])
@@ -705,20 +710,51 @@ def cmd_export(args):
 
 
 def cmd_export_serving(args):
-    """One self-contained serving artifact: the live pipeline's exact
-    jitted program (jax.export) + weights + vocab tables."""
-    from asr_dfcnn_transformer_tpu.infer.export_serving import (
-        export_pipeline)
-    pipe, _, _ = _load_pipeline(args, args.decode,
-                                beam_width=args.beam_width)
+    """One self-contained serving artifact: the live inference program
+    (jax.export) + weights + vocab tables."""
     batch_sizes = tuple(int(x) for x in
                         args.serve_batch_sizes.split(",") if x)
     buckets = tuple(int(x) for x in args.serve_buckets.split(",") if x)
-    meta = export_pipeline(pipe, args.out, batch_sizes=batch_sizes,
-                           buckets=buckets)
+    if args.what == "e2e":
+        from asr_dfcnn_transformer_tpu import models
+        from asr_dfcnn_transformer_tpu.infer.export_serving import (
+            export_e2e)
+        from asr_dfcnn_transformer_tpu.train import E2ETrainer
+        bsz = args.batch_size or 8
+        bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+        loader, av, ev = _data(args, bsz, bounds, e2e_vocab=True)
+        if args.small:
+            model = models.SpeechTransformer(
+                ev.size, d_model=32, num_heads=4, num_enc_blocks=1,
+                num_dec_blocks=1, prenet_channels=8, dropout_rate=0.0,
+                dtype=jnp.float32)
+        else:
+            model = models.SpeechTransformer(ev.size)
+        feature_dim = 80 if not args.small else 40
+        tr = E2ETrainer(model, args.workdir, feature_dim=feature_dim)
+        _require_ckpt(tr, "end-to-end", args.workdir)
+        first = next(loader("test", False).am_batches(bsz, shuffle=False))
+        tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0),
+                                                 first))
+        variables = {"params": tr.state.params}
+        if tr.state.batch_stats:
+            variables["batch_stats"] = tr.state.batch_stats
+        meta = export_e2e(model, variables, args.out, vocab=ev,
+                          feature_dim=feature_dim, lfr_m=tr.lfr_m,
+                          lfr_n=tr.lfr_n, decode=args.decode,
+                          beam_width=(args.beam_width
+                                      if args.decode == "beam" else 3),
+                          batch_sizes=batch_sizes, buckets=buckets)
+    else:
+        from asr_dfcnn_transformer_tpu.infer.export_serving import (
+            export_pipeline)
+        pipe, _, _ = _load_pipeline(args, args.decode,
+                                    beam_width=args.beam_width)
+        meta = export_pipeline(pipe, args.out, batch_sizes=batch_sizes,
+                               buckets=buckets)
     print(f"exported serving artifact -> {args.out} "
-          f"({len(meta['programs'])} entry points, "
-          f"decode={meta['decode']}, lm={meta['has_lm']})")
+          f"(kind={meta['kind']}, {len(meta['programs'])} entry points, "
+          f"decode={meta['decode']})")
 
 
 def main(argv=None):

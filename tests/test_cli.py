@@ -269,6 +269,29 @@ def test_cli_export_serving_artifact(workdir):
     assert served.meta["has_lm"] and len(served.meta["programs"]) == 1
 
 
+def test_cli_export_serving_e2e(workdir):
+    """export-serving --what e2e round-trips through E2EServing (depends
+    on the e2e train test having run)."""
+    import numpy as np
+
+    from asr_dfcnn_transformer_tpu.infer.export_serving import (
+        E2EServing,
+        load_artifact,
+    )
+    out = os.path.join(workdir, "export", "e2e.asrx")
+    cli.main(["export-serving", "--what", "e2e", "--workdir", workdir,
+              "--synthetic", "16", "--small", "--batch-size", "8",
+              "--out", out, "--serve-batch-sizes", "2",
+              "--serve-buckets", "128"])
+    served = load_artifact(out)
+    assert isinstance(served, E2EServing)
+    wav = os.path.join(workdir, "synthetic", "wav", "test", "utt_0.wav")
+    from asr_dfcnn_transformer_tpu.audio.wav import read_wav
+    sig, _ = read_wav(wav)
+    hanzi = served.recognize_signal(np.asarray(sig))
+    assert isinstance(hanzi, str)
+
+
 def test_cli_export_and_eval_lm_tf1(tmp_path, capsys):
     """Round trip the LM through the reference's TF1 Saver format:
     train -> export --what lm -> eval-lm --lm-tf-ckpt (in a workdir with

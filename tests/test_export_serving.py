@@ -113,6 +113,104 @@ def test_serving_single_signal_decodes_strings(setup, artifact):
     assert pinyin == want_p and hanzi == want_h
 
 
+def test_e2e_export_roundtrip_exact(setup, tmp_path):
+    """export_e2e -> E2EServing agrees exactly with the live KV-cached
+    greedy decode; load_artifact dispatches on the artifact kind."""
+    from asr_dfcnn_transformer_tpu.audio import batched_fbank
+    from asr_dfcnn_transformer_tpu.audio.lfr import batched_lfr
+    from asr_dfcnn_transformer_tpu.core import vocab as V
+    from asr_dfcnn_transformer_tpu.infer.export_serving import (
+        E2EServing,
+        export_e2e,
+        load_artifact,
+    )
+    from asr_dfcnn_transformer_tpu.models import (
+        SpeechTransformer,
+        greedy_decode_cached,
+    )
+
+    dl, _ = setup
+    ev = V.e2e_language_vocab()
+    model = SpeechTransformer(ev.size, d_model=32, num_heads=4,
+                              num_enc_blocks=1, num_dec_blocks=1,
+                              prenet_channels=8, dropout_rate=0.0,
+                              dtype=jnp.float32)
+    batch = next(dl.am_batches(4, shuffle=False))
+    feats, valid = batched_fbank(jnp.asarray(batch.signals[:1]),
+                                 jnp.asarray(batch.signal_lengths[:1]),
+                                 out_frames=128)
+    lfr, lfr_valid = batched_lfr(feats, valid)
+    variables = model.init(jax.random.PRNGKey(0), lfr[..., None],
+                           lfr_valid, jnp.zeros((1, 8), jnp.int32),
+                           train=False)
+
+    path = str(tmp_path / "e2e.asrx")
+    meta = export_e2e(model, variables, path, vocab=ev, feature_dim=200,
+                      max_len=8, batch_sizes=(4,), buckets=(128,))
+    assert meta["kind"] == "e2e"
+
+    served = load_artifact(path)
+    assert isinstance(served, E2EServing)
+    got_ids, got_lens = served.recognize_batch(batch.signals,
+                                               batch.signal_lengths)
+
+    feats, valid = batched_fbank(jnp.asarray(batch.signals),
+                                 jnp.asarray(batch.signal_lengths),
+                                 out_frames=128)
+    lfr, lfr_valid = batched_lfr(feats, valid)
+    want_ids, want_lens = greedy_decode_cached(model, variables,
+                                               lfr[..., None], lfr_valid,
+                                               max_len=8)
+    np.testing.assert_array_equal(np.asarray(want_ids), got_ids)
+    np.testing.assert_array_equal(np.asarray(want_lens), got_lens)
+
+    hanzi = served.recognize_signal(
+        batch.signals[0][:int(batch.signal_lengths[0])])
+    assert isinstance(hanzi, str)
+
+
+def test_e2e_export_beam_decode(setup, tmp_path):
+    """export_e2e(decode='beam') matches the live KV-cached beam."""
+    from asr_dfcnn_transformer_tpu.audio import batched_fbank
+    from asr_dfcnn_transformer_tpu.audio.lfr import batched_lfr
+    from asr_dfcnn_transformer_tpu.core import vocab as V
+    from asr_dfcnn_transformer_tpu.infer.export_serving import (
+        E2EServing,
+        export_e2e,
+    )
+    from asr_dfcnn_transformer_tpu.models import (
+        SpeechTransformer,
+        beam_decode_cached,
+    )
+
+    dl, _ = setup
+    ev = V.e2e_language_vocab()
+    model = SpeechTransformer(ev.size, d_model=32, num_heads=4,
+                              num_enc_blocks=1, num_dec_blocks=1,
+                              prenet_channels=8, dropout_rate=0.0,
+                              dtype=jnp.float32)
+    batch = next(dl.am_batches(4, shuffle=False))
+    feats, valid = batched_fbank(jnp.asarray(batch.signals[:2]),
+                                 jnp.asarray(batch.signal_lengths[:2]),
+                                 out_frames=128)
+    lfr, lfr_valid = batched_lfr(feats, valid)
+    variables = model.init(jax.random.PRNGKey(0), lfr[:1][..., None],
+                           lfr_valid[:1], jnp.zeros((1, 8), jnp.int32),
+                           train=False)
+    path = str(tmp_path / "e2e_beam.asrx")
+    export_e2e(model, variables, path, vocab=ev, feature_dim=200,
+               decode="beam", beam_width=2, max_len=8,
+               batch_sizes=(2,), buckets=(128,))
+    served = E2EServing.load(path)
+    got_ids, got_lens = served.recognize_batch(batch.signals[:2],
+                                               batch.signal_lengths[:2])
+    want_ids, want_lens, _ = beam_decode_cached(
+        model, variables, lfr[..., None], lfr_valid, beam_size=2,
+        max_len=8)
+    np.testing.assert_array_equal(np.asarray(want_ids), got_ids)
+    np.testing.assert_array_equal(np.asarray(want_lens), got_lens)
+
+
 def test_serving_without_lm(setup, tmp_path):
     dl, pipe = setup
     am_only = Pipeline(pipe.am_model, pipe.am_variables,
