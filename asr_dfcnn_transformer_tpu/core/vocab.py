@@ -59,10 +59,13 @@ class Vocab:
         return [self.to_str(int(i)) for i in ids]
 
 
-def _build(symbols: List[str]) -> Vocab:
+def build_vocab(symbols: List[str]) -> Vocab:
     # dict() over enumerate keeps the LAST index for duplicated symbols,
     # matching the reference's comprehension at data_loader.py:90.
     return Vocab(tuple(symbols), {s: i for i, s in enumerate(symbols)})
+
+
+_build = build_vocab  # internal alias, kept for the module's own callers
 
 
 def acoustic_vocab(path: str = constants.PINYIN_DICT_PATH) -> Vocab:

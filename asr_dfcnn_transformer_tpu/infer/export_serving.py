@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from asr_dfcnn_transformer_tpu.core.vocab import Vocab
+from asr_dfcnn_transformer_tpu.core.vocab import Vocab, build_vocab
 from asr_dfcnn_transformer_tpu.infer.pipeline import (
     Pipeline,
     pipeline_program,
@@ -64,8 +64,9 @@ from asr_dfcnn_transformer_tpu.infer.pipeline import (
 _FORMAT_VERSION = 1
 
 
-def _samples_for_bucket(bucket_frames: int) -> int:
-    return (bucket_frames - 1) * 160 + 400
+def _samples_for_bucket(bucket_frames: int, win: int = 400,
+                        hop: int = 160) -> int:
+    return (bucket_frames - 1) * hop + win
 
 
 def _spec(x):
@@ -73,7 +74,7 @@ def _spec(x):
 
 
 def _export_programs(fn_for_bucket, param_specs, batch_sizes, buckets,
-                     platforms):
+                     platforms, win=400, hop=160):
     """(programs table, {file: blob}) for every (batch, bucket) pair.
     ``fn_for_bucket(bucket)`` returns the traced callable
     ``fn(param_group_leaves..., signals, lengths)``."""
@@ -84,7 +85,7 @@ def _export_programs(fn_for_bucket, param_specs, batch_sizes, buckets,
         if bucket % 8:
             raise ValueError(f"bucket_frames must be multiples of 8, "
                              f"got {bucket}")
-        samples = _samples_for_bucket(bucket)
+        samples = _samples_for_bucket(bucket, win, hop)
         fn = fn_for_bucket(bucket)
         for batch in sorted(set(int(b) for b in batch_sizes)):
             exp = jax_export.export(
@@ -103,6 +104,16 @@ def _export_programs(fn_for_bucket, param_specs, batch_sizes, buckets,
 def _write_artifact(path, meta, param_groups, blobs):
     """param_groups: {group_name: [leaves]} -> params.npz keys
     ``{group}/{i:04d}``; counts land in meta["param_groups"]."""
+    for g, leaves in param_groups.items():
+        for i, x in enumerate(leaves):
+            arr = np.asarray(x)
+            if arr.dtype.kind not in "fiub" :
+                # np.savez silently round-trips non-native dtypes (e.g.
+                # ml_dtypes.bfloat16) as raw void — fail at EXPORT time,
+                # not at some later load
+                raise ValueError(
+                    f"param {g}/{i} has non-npz-portable dtype "
+                    f"{arr.dtype}; cast params to float32 before export")
     meta = dict(meta, version=_FORMAT_VERSION,
                 param_groups={g: len(v) for g, v in param_groups.items()})
     parent = os.path.dirname(os.path.abspath(path))
@@ -136,10 +147,7 @@ def _read_artifact(path):
     return meta, groups, exported
 
 
-def _vocab(symbols) -> Vocab:
-    # last index wins for duplicated symbols (core.vocab._build /
-    # reference data_loader.py:90)
-    return Vocab(tuple(symbols), {s: i for i, s in enumerate(symbols)})
+_vocab = build_vocab     # rebuild vocab tables from the artifact's lists
 
 
 def export_pipeline(pipeline: Pipeline, path: str, *,
@@ -174,12 +182,15 @@ def export_pipeline(pipeline: Pipeline, path: str, *,
     programs, blobs = _export_programs(
         fn_for_bucket,
         ([_spec(x) for x in am_flat], [_spec(x) for x in lm_flat]),
-        batch_sizes, buckets, platforms)
+        batch_sizes, buckets, platforms,
+        win=pipeline.fbank_cfg.win_len, hop=pipeline.fbank_cfg.hop)
     meta = {
         "kind": "am_lm",
         "decode": pipeline.decode,
         "beam_width": pipeline.beam_width,
         "feature_dim": pipeline.fbank_cfg.nfilt,
+        "win_len": pipeline.fbank_cfg.win_len,
+        "hop": pipeline.fbank_cfg.hop,
         "lm_max_len": pipeline.lm_max_len,
         "has_lm": pipeline.lm_model is not None,
         "platforms": list(platforms) if platforms else None,
@@ -236,7 +247,7 @@ def export_e2e(model, variables, path: str, *, vocab: Vocab,
 
     programs, blobs = _export_programs(
         fn_for_bucket, ([_spec(x) for x in flat],),
-        batch_sizes, buckets, platforms)
+        batch_sizes, buckets, platforms, win=cfg.win_len, hop=cfg.hop)
     meta = {
         "kind": "e2e",
         "decode": decode,
@@ -244,6 +255,8 @@ def export_e2e(model, variables, path: str, *, vocab: Vocab,
         "lp_alpha": lp_alpha,
         "max_len": max_len,
         "feature_dim": feature_dim,
+        "win_len": cfg.win_len,
+        "hop": cfg.hop,
         "lfr_m": lfr_m,
         "lfr_n": lfr_n,
         "platforms": list(platforms) if platforms else None,
@@ -285,9 +298,13 @@ class _ArtifactBase:
         """Pad/bucket one sub-batch (n <= largest exported batch) and run
         it; returns device outputs + the true row count."""
         n = signals.shape[0]
-        frames = max(1, 1 + (int(lengths.max()) - 400 + 159) // 160)
+        # framing params from the artifact (the exported fbank's), not
+        # hardcoded — bucket selection must match the program's framing
+        win = self.meta.get("win_len", 400)
+        hop = self.meta.get("hop", 160)
+        frames = max(1, 1 + -(-(int(lengths.max()) - win) // hop))
         bucket = self._pick_bucket(frames)
-        samples = _samples_for_bucket(bucket)
+        samples = _samples_for_bucket(bucket, win, hop)
         batch = next(b for b in self._batches if b >= n)
         buf = np.zeros((batch, samples), np.float32)
         m = min(signals.shape[1], samples)

@@ -164,6 +164,12 @@ def _build_parser():
     sp.add_argument("--decode", default="greedy",
                     choices=["greedy", "beam"])
     sp.add_argument("--beam-width", type=int, default=8)
+    sp.add_argument("--no-lm", action="store_true",
+                    help="pipeline artifact without the LM stage "
+                         "(pinyin-only; no ckpt_lm needed)")
+    sp.add_argument("--use-latest", action="store_true",
+                    help="export the latest checkpoint instead of the "
+                         "metric-gated best")
     sp.add_argument("--serve-batch-sizes", default="1,8",
                     help="comma-separated batch sizes to export entry "
                          "points for")
@@ -711,18 +717,20 @@ def cmd_export(args):
 
 def cmd_export_serving(args):
     """One self-contained serving artifact: the live inference program
-    (jax.export) + weights + vocab tables."""
+    (jax.export) + weights + vocab tables. Data-free: raw checkpoint
+    restore (metric-gated best by default, like `export`) + asset vocabs
+    — no corpus, loaders or trainer state needed to export."""
+    from asr_dfcnn_transformer_tpu.core import vocab as V
+    from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline
     batch_sizes = tuple(int(x) for x in
                         args.serve_batch_sizes.split(",") if x)
     buckets = tuple(int(x) for x in args.serve_buckets.split(",") if x)
+    use_best = not args.use_latest
     if args.what == "e2e":
         from asr_dfcnn_transformer_tpu import models
         from asr_dfcnn_transformer_tpu.infer.export_serving import (
             export_e2e)
-        from asr_dfcnn_transformer_tpu.train import E2ETrainer
-        bsz = args.batch_size or 8
-        bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
-        loader, av, ev = _data(args, bsz, bounds, e2e_vocab=True)
+        ev = V.e2e_language_vocab()
         if args.small:
             model = models.SpeechTransformer(
                 ev.size, d_model=32, num_heads=4, num_enc_blocks=1,
@@ -730,26 +738,31 @@ def cmd_export_serving(args):
                 dtype=jnp.float32)
         else:
             model = models.SpeechTransformer(ev.size)
-        feature_dim = 80 if not args.small else 40
-        tr = E2ETrainer(model, args.workdir, feature_dim=feature_dim)
-        _require_ckpt(tr, "end-to-end", args.workdir)
-        first = next(loader("test", False).am_batches(bsz, shuffle=False))
-        tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0),
-                                                 first))
-        variables = {"params": tr.state.params}
-        if tr.state.batch_stats:
-            variables["batch_stats"] = tr.state.batch_stats
+        raw = Pipeline._restore_raw(args.workdir, "e2e", use_best)
+        if raw is None:
+            raise SystemExit(f"error: no end-to-end checkpoint under "
+                             f"{args.workdir!r}")
+        variables = {"params": raw["params"]}
+        if raw.get("batch_stats"):
+            variables["batch_stats"] = raw["batch_stats"]
+        variables = jax.tree.map(jnp.asarray, variables)
         meta = export_e2e(model, variables, args.out, vocab=ev,
-                          feature_dim=feature_dim, lfr_m=tr.lfr_m,
-                          lfr_n=tr.lfr_n, decode=args.decode,
+                          feature_dim=80 if not args.small else 40,
+                          decode=args.decode,
                           beam_width=(args.beam_width
                                       if args.decode == "beam" else 3),
                           batch_sizes=batch_sizes, buckets=buckets)
     else:
         from asr_dfcnn_transformer_tpu.infer.export_serving import (
             export_pipeline)
-        pipe, _, _ = _load_pipeline(args, args.decode,
-                                    beam_width=args.beam_width)
+        av, lv = V.acoustic_vocab(), V.language_vocab()
+        am = _am_model(args.model, av.size, args.small)
+        lm = None if args.no_lm else _lm_model(av.size, lv.size,
+                                               args.small)
+        pipe = Pipeline.from_checkpoints(
+            args.workdir, am, lm, acoustic_vocab=av,
+            language_vocab=None if args.no_lm else lv, use_best=use_best,
+            decode=args.decode, beam_width=args.beam_width)
         meta = export_pipeline(pipe, args.out, batch_sizes=batch_sizes,
                                buckets=buckets)
     print(f"exported serving artifact -> {args.out} "
