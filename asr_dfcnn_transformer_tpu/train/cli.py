@@ -175,6 +175,12 @@ def _build_parser():
                          "points for")
     sp.add_argument("--serve-buckets", default="128,512,1600",
                     help="comma-separated bucket_frames (multiples of 8)")
+    sp.add_argument("--serve-platforms", default=None,
+                    help="comma-separated lowering platforms (e.g. "
+                         "'cpu,tpu' builds one artifact for both from "
+                         "any host); default: the exporting machine's "
+                         "backend, which embeds its auto-selected "
+                         "kernels")
     return p
 
 
@@ -725,6 +731,8 @@ def cmd_export_serving(args):
     batch_sizes = tuple(int(x) for x in
                         args.serve_batch_sizes.split(",") if x)
     buckets = tuple(int(x) for x in args.serve_buckets.split(",") if x)
+    platforms = (tuple(args.serve_platforms.split(","))
+                 if args.serve_platforms else None)
     use_best = not args.use_latest
     if args.what == "e2e":
         from asr_dfcnn_transformer_tpu import models
@@ -751,7 +759,8 @@ def cmd_export_serving(args):
                           decode=args.decode,
                           beam_width=(args.beam_width
                                       if args.decode == "beam" else 3),
-                          batch_sizes=batch_sizes, buckets=buckets)
+                          batch_sizes=batch_sizes, buckets=buckets,
+                          platforms=platforms)
     else:
         from asr_dfcnn_transformer_tpu.infer.export_serving import (
             export_pipeline)
@@ -764,7 +773,7 @@ def cmd_export_serving(args):
             language_vocab=None if args.no_lm else lv, use_best=use_best,
             decode=args.decode, beam_width=args.beam_width)
         meta = export_pipeline(pipe, args.out, batch_sizes=batch_sizes,
-                               buckets=buckets)
+                               buckets=buckets, platforms=platforms)
     print(f"exported serving artifact -> {args.out} "
           f"(kind={meta['kind']}, {len(meta['programs'])} entry points, "
           f"decode={meta['decode']})")

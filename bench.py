@@ -576,7 +576,7 @@ def main():
     import jax
 
     import os
-    try:  # persistent XLA compile cache: the suite is 10 programs, and the
+    try:  # persistent XLA compile cache: the suite is 13 configs, and the
         # beam-search config alone can cost minutes of compile time. Keep
         # the cache next to the repo so a pre-warmed cache survives for
         # later runs of the same code.

@@ -113,6 +113,24 @@ def test_serving_single_signal_decodes_strings(setup, artifact):
     assert pinyin == want_p and hanzi == want_h
 
 
+def test_export_cross_platform_lowering(setup, tmp_path):
+    """platforms=('cpu','tpu') lowers one artifact for both backends from
+    a CPU host (useful when the TPU is unreachable at export time); the
+    current (cpu) lowering must still execute."""
+    dl, pipe = setup
+    path = str(tmp_path / "xplat.asrx")
+    meta = export_pipeline(pipe, path, batch_sizes=(2,), buckets=(128,),
+                           platforms=("cpu", "tpu"))
+    assert meta["platforms"] == ["cpu", "tpu"]
+    served = ServingPipeline.load(path)
+    batch = next(dl.am_batches(4, shuffle=False))
+    got = served.recognize_batch(batch.signals[:2],
+                                 batch.signal_lengths[:2])
+    want = pipe.recognize_batch(batch.signals[:2],
+                                batch.signal_lengths[:2], 128)
+    np.testing.assert_array_equal(np.asarray(want[0]), got[0])
+
+
 def test_e2e_export_roundtrip_exact(setup, tmp_path):
     """export_e2e -> E2EServing agrees exactly with the live KV-cached
     greedy decode; load_artifact dispatches on the artifact kind."""
