@@ -181,6 +181,14 @@ def _build_parser():
                          "any host); default: the exporting machine's "
                          "backend, which embeds its auto-selected "
                          "kernels")
+
+    sp = sub.add_parser(
+        "infer-artifact",
+        help="recognize a wav from a serving artifact alone — no "
+             "workdir, checkpoints or assets")
+    sp.add_argument("--artifact", required=True, help=".asrx path")
+    sp.add_argument("--wav", required=True)
+    sp.add_argument("--platform", default=None)
     return p
 
 
@@ -779,16 +787,33 @@ def cmd_export_serving(args):
           f"decode={meta['decode']})")
 
 
+def cmd_infer_artifact(args):
+    """Artifact-only recognition: load_artifact + recognize, nothing
+    else (the deployment-side counterpart of `infer`)."""
+    from asr_dfcnn_transformer_tpu.audio.wav import read_wav
+    from asr_dfcnn_transformer_tpu.infer.export_serving import (
+        E2EServing, load_artifact)
+    served = load_artifact(args.artifact)
+    sig, _ = read_wav(args.wav)
+    if isinstance(served, E2EServing):
+        print("汉字:", served.recognize_signal(sig))
+    else:
+        pinyin, hanzi = served.recognize_signal(sig)
+        print("拼音:", " ".join(pinyin))
+        print("汉字:", hanzi)
+
+
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     _setup_platform(args)
-    if args.cmd != "export":
+    if args.cmd not in ("export", "infer-artifact"):
         _apply_config(args)
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
      "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,
      "eval-e2e": cmd_eval_e2e, "eval-atten": cmd_eval_atten,
      "infer": cmd_infer, "export": cmd_export,
-     "export-serving": cmd_export_serving}[args.cmd](args)
+     "export-serving": cmd_export_serving,
+     "infer-artifact": cmd_infer_artifact}[args.cmd](args)
 
 
 if __name__ == "__main__":

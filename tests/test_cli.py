@@ -292,6 +292,16 @@ def test_cli_export_serving_e2e(workdir):
     assert isinstance(hanzi, str)
 
 
+def test_cli_infer_artifact(workdir, capsys):
+    """infer-artifact recognizes from the .asrx alone — no workdir
+    (depends on test_cli_export_serving_artifact having run)."""
+    art = os.path.join(workdir, "export", "pipe.asrx")
+    wav = os.path.join(workdir, "synthetic", "wav", "test", "utt_0.wav")
+    cli.main(["infer-artifact", "--artifact", art, "--wav", wav])
+    out = capsys.readouterr().out
+    assert "拼音:" in out and "汉字:" in out
+
+
 def test_cli_export_and_eval_lm_tf1(tmp_path, capsys):
     """Round trip the LM through the reference's TF1 Saver format:
     train -> export --what lm -> eval-lm --lm-tf-ckpt (in a workdir with
