@@ -12,6 +12,9 @@ The user surface matching the reference's drivers (``README.md:11-14``):
 replacing ``lm_and_am/train.py`` (AM+LM), ``train_atten.py``
 (CTC-attention), ``end2end/model.py`` (speech transformer), ``test.py``
 (pipeline eval) and ``read_wav.py`` (single-file/streaming inference).
+Beyond the reference's surface: ``export`` (weights back to the TF1/hdf5
+formats), ``export-serving`` (one-file jax.export serving artifact) and
+``infer-artifact`` (recognition from that artifact alone).
 Unlike the reference's argparse-at-import classes (hparams.py:34,53,72,91)
 flags are parsed once here into the dataclass config tree.
 
