@@ -118,6 +118,63 @@ def _strict_line(record):
     return line
 
 
+class _EmitOnce:
+    """Single-shot guard for the result-line emit, safe against signal
+    handlers re-entering on the emitting thread.
+
+    Python runs signal handlers on the main thread — which is also the
+    thread that emits on the normal and unreachable-tunnel paths. A plain
+    bool + Lock deadlocked when SIGTERM landed while the main thread was
+    inside emit: the handler blocked forever on the non-reentrant lock,
+    producing the exact no-stdout-line failure the handlers exist to
+    prevent (round-4 incident). Mechanics:
+
+    - per-thread ``active`` marker, set BEFORE taking the lock, so a
+      handler interrupting its own thread's emit is detected without
+      touching the lock (``run`` no-ops; the interrupted emit resumes and
+      finishes the line when the handler returns);
+    - the handler instead calls ``defer_exit(code)``: if this thread is
+      mid-emit the exit code is honored in ``run``'s finally, right after
+      the line lands;
+    - cross-thread races (watchdog thread vs main) serialize on the lock
+      as before; ``fn`` runs at most once process-wide.
+    """
+
+    def __init__(self, _exit=os._exit):
+        self._emitted = False
+        self._exit_after = None
+        self._local = threading.local()
+        self._lock = threading.Lock()
+        self._exit = _exit          # injectable for unit tests
+
+    def run(self, fn) -> bool:
+        """Run ``fn`` at most once; returns whether THIS call ran it."""
+        if getattr(self._local, "active", False):
+            return False            # re-entered from a signal handler
+        self._local.active = True
+        ran = False
+        try:
+            with self._lock:
+                if not self._emitted:
+                    fn()
+                    self._emitted = True
+                    ran = True
+        finally:
+            self._local.active = False
+            if self._exit_after is not None:
+                self._exit(self._exit_after)
+        return ran
+
+    def defer_exit(self, code: int) -> bool:
+        """If this thread is inside ``run``, schedule ``code`` to be
+        exited with when it completes and return True; else False (the
+        caller should emit + exit itself)."""
+        if getattr(self._local, "active", False):
+            self._exit_after = code
+            return True
+        return False
+
+
 def _signals(batch, seed=None):
     import jax
     rs = np.random.default_rng(_SALT if seed is None else seed)
@@ -601,6 +658,42 @@ def main():
     batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 128
     only = argv[argv.index("--only") + 1] if "--only" in argv else None
 
+    # The suite, declared up front so a mistyped --only fails fast and
+    # loudly (it used to fall through every want() check and exit 0 with
+    # NO stdout line — the exact failure mode the one-line contract
+    # exists to prevent). Thunks close over `models` (filled after the
+    # tunnel probe: building them needs the backend).
+    models = {}
+    suite_configs = [
+        ("am_lm_b128", lambda: bench_am_lm(models["m"], batch)),
+        ("single_utt_greedy", lambda: bench_single_utt(models["m"])),
+        ("am_batched_b32", lambda: bench_am_lm(models["m"], 32)),
+        ("lm_only", lambda: bench_lm_only(models["m"])),
+        ("beam_noise_pipeline", lambda: bench_am_lm(
+            models["m"], batch, decode="beam", noise=True, iters=50)),
+        ("streaming_chunk", lambda: bench_streaming_chunk(models["m"])),
+        ("am_lm_fast_b128", lambda: bench_am_lm(
+            models["m"], batch, am=models["m"].fast,
+            am_vars=models["m"].fast_vars)),
+        ("am_lm_keras_b128", lambda: bench_am_lm(
+            models["m"], batch, am=models["m"].keras[0],
+            am_vars=models["m"].keras[1])),
+        ("train_step_standard", lambda: bench_train(models["m"],
+                                                    fast=False)),
+        ("train_step_fast", lambda: bench_train(models["m"], fast=True)),
+        ("train_step_lm", lambda: bench_train_lm(models["m"])),
+        ("train_step_e2e", lambda: bench_train_e2e(models["m"])),
+        # saturating-batch counterpart: batch 8 is the reference's cadence
+        # (end2end/model.py:30) but latency-starves a v5e; b64 shows what
+        # the model can actually do (VERDICT r3 #4)
+        ("train_step_e2e_b64", lambda: bench_train_e2e(models["m"],
+                                                       batch=64, steps=20)),
+    ]
+    if only is not None and only not in {n for n, _ in suite_configs}:
+        print(f"unknown --only {only!r}; valid names: "
+              + ", ".join(n for n, _ in suite_configs), file=sys.stderr)
+        sys.exit(2)
+
     if "--calibrate" in argv:
         # prove the slope harness against physics: a big matmul should
         # land near the chip's published peak, an elementwise op near HBM
@@ -647,40 +740,14 @@ def main():
                                       str(max(300.0, deadline - 1500.0))))
     dev_info = {"device": "unknown"}
     suite = {}
-    # emitted: the line is out; in_emit: per-thread "inside emit()" marker
-    # (set BEFORE the lock — signal handlers run on the interrupted thread,
-    # so a handler re-entering emit() on the lock-holding thread must be
-    # detected without touching the lock); exit_after: exit code a handler
-    # deferred to the emit it interrupted (see on_term). A plain bool +
-    # Lock deadlocked when SIGTERM landed while the MAIN thread was inside
-    # emit() — the handler blocked forever on the non-reentrant lock,
-    # producing the exact no-stdout-line failure the handlers exist to
-    # prevent.
-    emit_state = {"emitted": False, "exit_after": None}
-    in_emit = threading.local()
-    emit_lock = threading.Lock()
+    guard = _EmitOnce()
 
     def emit(note=None):
         """Print THE result line — exactly one JSON line on stdout, compact
         enough for the driver's ~2000-char tail capture, strictly
         parseable (allow_nan=False + self re-parse in _strict_line).
-        Single-shot: the watchdog and the normal path may race."""
-        if getattr(in_emit, "active", False):
-            return  # signal handler interrupted THIS thread's own emit:
-            # the outer call resumes and finishes the line after the
-            # handler returns — re-entering would deadlock (Lock) or
-            # interleave two half-written lines (RLock)
-        in_emit.active = True
-        try:
-            with emit_lock:
-                if emit_state["emitted"]:
-                    return
-                _emit_line(note)
-                emit_state["emitted"] = True
-        finally:
-            in_emit.active = False
-            if emit_state["exit_after"] is not None:
-                os._exit(emit_state["exit_after"])
+        Single-shot and signal-safe: see _EmitOnce."""
+        guard.run(lambda: _emit_line(note))
 
     def _emit_line(note):
         head = suite.get("am_lm_b128", {})
@@ -714,13 +781,12 @@ def main():
     threading.Thread(target=watchdog, daemon=True).start()
 
     def on_term(signum, frame):    # an external cap usually TERMs first:
-        if getattr(in_emit, "active", False):
+        if guard.defer_exit(4):
             # we interrupted this very thread's in-progress emit (Python
             # runs signal handlers on the main thread, which is also the
             # thread that calls emit() on the unreachable-tunnel and
             # normal paths): let it resume and finish the line, then die
             # with our code — _exit here would cut the line short
-            emit_state["exit_after"] = 4
             return
         try:                       # get the partial line out before dying
             emit(note=f"terminated by signal {signum}; partial suite")
@@ -769,7 +835,7 @@ def main():
               file=sys.stderr, flush=True)
         time.sleep(45)
 
-    m = _Models()
+    models["m"] = _Models()
 
     def want(name):
         return only is None or only == name
@@ -811,28 +877,9 @@ def main():
         suite[name] = {"error": err[:500]}
         write_full()
 
-    run("am_lm_b128", lambda: bench_am_lm(m, batch))
-    run("single_utt_greedy", lambda: bench_single_utt(m))
-    run("am_batched_b32", lambda: bench_am_lm(m, 32))
-    run("lm_only", lambda: bench_lm_only(m))
-    run("beam_noise_pipeline", lambda: bench_am_lm(m, batch, decode="beam",
-                                                   noise=True, iters=50))
-    run("streaming_chunk", lambda: bench_streaming_chunk(m))
-    run("am_lm_fast_b128", lambda: bench_am_lm(m, batch, am=m.fast,
-                                               am_vars=m.fast_vars))
-    run("am_lm_keras_b128", lambda: bench_am_lm(m, batch, am=m.keras[0],
-                                                am_vars=m.keras[1]))
-    run("train_step_standard", lambda: bench_train(m, fast=False))
-    run("train_step_fast", lambda: bench_train(m, fast=True))
-    run("train_step_lm", lambda: bench_train_lm(m))
-    run("train_step_e2e", lambda: bench_train_e2e(m))
-    # saturating-batch counterpart: batch 8 is the reference's cadence
-    # (end2end/model.py:30) but latency-starves a v5e; b64 shows what the
-    # model can actually do (VERDICT r3 #4)
-    run("train_step_e2e_b64", lambda: bench_train_e2e(m, batch=64,
-                                                      steps=20))
-    if suite:
-        emit()
+    for name, fn in suite_configs:
+        run(name, fn)
+    emit()
 
 
 if __name__ == "__main__":

@@ -142,6 +142,18 @@ def test_compact_suite_keeps_primary_fields_and_errors():
     assert len(comp["b"]["error"]) == 60
 
 
+def test_bench_unknown_only_fails_fast(tmp_path):
+    """A mistyped --only must exit 2 with the valid names on stderr —
+    it used to fall through every config and exit 0 with NO output."""
+    env = dict(os.environ, ASR_TPU_BENCH_CPU="1",
+               ASR_TPU_COMPILE_CACHE=str(tmp_path))
+    r = subprocess.run([sys.executable, str(_BENCH), "--only", "nope"],
+                       env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 2, (r.returncode, r.stderr[-300:])
+    assert "unknown --only" in r.stderr and "lm_only" in r.stderr
+    assert not r.stdout.strip()
+
+
 @pytest.mark.slow
 def test_bench_deadline_watchdog_emits_partial_line(tmp_path):
     """A deadline hit mid-suite must still print ONE strictly parseable
@@ -205,3 +217,68 @@ def test_bench_sigterm_emits_partial_line(tmp_path):
     assert len(lines) == 1, lines
     rec = json.loads(lines[0])
     assert "terminated by signal" in rec["extra"]["note"]
+
+
+# ---- _EmitOnce: the signal-safe single-shot emit guard ----------------
+
+
+def test_emit_once_runs_exactly_once():
+    g = bench._EmitOnce(_exit=lambda code: None)
+    calls = []
+    assert g.run(lambda: calls.append(1)) is True
+    assert g.run(lambda: calls.append(2)) is False
+    assert calls == [1]
+
+
+def test_emit_once_reentry_from_same_thread_noops():
+    """A signal handler interrupting its own thread's emit re-enters
+    run(); the inner call must no-op (NOT deadlock — the round-4
+    incident) and the outer call must still land the line."""
+    g = bench._EmitOnce(_exit=lambda code: None)
+    calls = []
+
+    def fn():
+        # simulate the handler firing mid-emit on the same thread
+        assert g.run(lambda: calls.append("inner")) is False
+        calls.append("outer")
+
+    assert g.run(fn) is True
+    assert calls == ["outer"]
+
+
+def test_emit_once_defer_exit_fires_after_emit_completes():
+    exits = []
+    g = bench._EmitOnce(_exit=exits.append)
+    calls = []
+
+    def fn():
+        # handler arrives mid-emit: defers instead of exiting
+        assert g.defer_exit(4) is True
+        assert exits == []          # not yet — the line must land first
+        calls.append("line")
+
+    g.run(fn)
+    assert calls == ["line"] and exits == [4]
+
+
+def test_emit_once_defer_exit_outside_run_is_false():
+    g = bench._EmitOnce(_exit=lambda code: None)
+    assert g.defer_exit(4) is False
+
+
+def test_emit_once_cross_thread_single_shot():
+    import threading
+
+    g = bench._EmitOnce(_exit=lambda code: None)
+    calls = []
+    ran = []
+
+    def worker():
+        ran.append(g.run(lambda: (time.sleep(0.05), calls.append(1))))
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert calls == [1] and sorted(ran) == [False, False, False, True]
