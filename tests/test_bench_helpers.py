@@ -282,3 +282,28 @@ def test_emit_once_cross_thread_single_shot():
     for t in ts:
         t.join()
     assert calls == [1] and sorted(ran) == [False, False, False, True]
+
+
+def test_measure_autos_smoke_harness(tmp_path):
+    """tools/measure_autos.py must stay runnable: it is the script a
+    short TPU tunnel window depends on for the two pending ``auto``
+    crossovers (Stride2Conv layout, matfft epilogue). --cpu --smoke
+    exercises the full harness (both experiments, incl. the Pallas
+    epilogue in interpret mode) on tiny shapes."""
+    tools = os.path.join(_BENCH.rsplit("/", 1)[0], "tools",
+                         "measure_autos.py")
+    env = dict(os.environ, ASR_TPU_COMPILE_CACHE=str(tmp_path))
+    r = subprocess.run([sys.executable, tools, "--cpu", "--smoke"],
+                       env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    recs = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+    keys = {k for rec in recs for k in rec}
+    assert {"device", "stride2conv", "fft_epilogue"} <= keys, recs
+    s2c = next(rec for rec in recs if "stride2conv" in rec)["stride2conv"]
+    for b in (8, 64):
+        for layout in ("plain", "pack"):
+            cfg = s2c[f"b{b}_{layout}"]
+            assert cfg["fwd_ms"] > 0 and cfg["fwdbwd_ms"] > 0, s2c
+    fft = next(rec for rec in recs if "fft_epilogue" in rec)["fft_epilogue"]
+    assert "xla_ms" in fft and "pallas_ms" in fft, fft
