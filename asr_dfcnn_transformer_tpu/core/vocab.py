@@ -65,27 +65,24 @@ def build_vocab(symbols: List[str]) -> Vocab:
     return Vocab(tuple(symbols), {s: i for i, s in enumerate(symbols)})
 
 
-_build = build_vocab  # internal alias, kept for the module's own callers
-
-
 def acoustic_vocab(path: str = constants.PINYIN_DICT_PATH) -> Vocab:
     """Pinyin syllables + trailing CTC blank (size 1536)."""
     symbols = _read_lines(path)
     symbols.append(constants.BLANK_SYMBOL)
-    return _build(symbols)
+    return build_vocab(symbols)
 
 
 def language_vocab(path: str = constants.HANZI_DICT_PATH) -> Vocab:
     """``<pad>`` + hanzi characters (size 6345)."""
     symbols = [constants.PAD_FLAG] + _read_lines(path)
-    return _build(symbols)
+    return build_vocab(symbols)
 
 
 def e2e_language_vocab(path: str = constants.HANZI_DICT_PATH) -> Vocab:
     """``<pad> <sos> </sos>`` + hanzi characters (size 6347)."""
     symbols = [constants.PAD_FLAG, constants.SOS_FLAG, constants.EOS_FLAG]
     symbols += _read_lines(path)
-    return _build(symbols)
+    return build_vocab(symbols)
 
 
 def pinyin_to_ids(vocab: Vocab, line: str) -> List[int]:

@@ -104,24 +104,25 @@ def _export_programs(fn_for_bucket, param_specs, batch_sizes, buckets,
 def _write_artifact(path, meta, param_groups, blobs):
     """param_groups: {group_name: [leaves]} -> params.npz keys
     ``{group}/{i:04d}``; counts land in meta["param_groups"]."""
-    for g, leaves in param_groups.items():
-        for i, x in enumerate(leaves):
-            arr = np.asarray(x)
-            if arr.dtype.kind not in "fiub" :
-                # np.savez silently round-trips non-native dtypes (e.g.
-                # ml_dtypes.bfloat16) as raw void — fail at EXPORT time,
-                # not at some later load
-                raise ValueError(
-                    f"param {g}/{i} has non-npz-portable dtype "
-                    f"{arr.dtype}; cast params to float32 before export")
+    # one host materialization per leaf (device-to-host transfer of the
+    # whole parameter set), validated and then written from the same dict
+    arrays = {f"{g}/{i:04d}": np.asarray(x)
+              for g, leaves in param_groups.items()
+              for i, x in enumerate(leaves)}
+    for key, arr in arrays.items():
+        if arr.dtype.kind not in "fiub":
+            # np.savez silently round-trips non-native dtypes (e.g.
+            # ml_dtypes.bfloat16) as raw void — fail at EXPORT time,
+            # not at some later load
+            raise ValueError(
+                f"param {key} has non-npz-portable dtype "
+                f"{arr.dtype}; cast params to float32 before export")
     meta = dict(meta, version=_FORMAT_VERSION,
                 param_groups={g: len(v) for g, v in param_groups.items()})
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     npz = io.BytesIO()
-    np.savez(npz, **{f"{g}/{i:04d}": np.asarray(x)
-                     for g, leaves in param_groups.items()
-                     for i, x in enumerate(leaves)})
+    np.savez(npz, **arrays)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
         z.writestr("meta.json", json.dumps(meta, ensure_ascii=False))
         z.writestr("params.npz", npz.getvalue())
@@ -145,9 +146,6 @@ def _read_artifact(path):
                     jax_export.deserialize(z.read(p["file"]))
                     for p in meta["programs"]}
     return meta, groups, exported
-
-
-_vocab = build_vocab     # rebuild vocab tables from the artifact's lists
 
 
 def export_pipeline(pipeline: Pipeline, path: str, *,
@@ -332,8 +330,8 @@ class ServingPipeline(_ArtifactBase):
 
     def __init__(self, meta, exported, am_leaves, lm_leaves):
         super().__init__(meta, exported, (am_leaves, lm_leaves))
-        self.acoustic_vocab = _vocab(meta["acoustic_vocab"])
-        self.language_vocab = (_vocab(meta["language_vocab"])
+        self.acoustic_vocab = build_vocab(meta["acoustic_vocab"])
+        self.language_vocab = (build_vocab(meta["language_vocab"])
                                if meta["language_vocab"] is not None
                                else None)
 
@@ -352,13 +350,15 @@ class ServingPipeline(_ArtifactBase):
         pinyin lengths [B], hanzi ids [B, L] or None). Batches larger
         than the largest exported size are served in chunks; smaller
         ones are zero-padded to the smallest exported size that fits."""
+        has_lm = self.meta["has_lm"]
         pny, pln, han = [], [], []
         for (p, l, h), n in self._chunked(signals, lengths):
             pny.append(np.asarray(p[:n]))
             pln.append(np.asarray(l[:n]))
-            han.append(np.asarray(h[:n]))
+            if has_lm:    # no-LM programs return a placeholder h: don't
+                han.append(np.asarray(h[:n]))  # pay its host transfer
         return (np.concatenate(pny), np.concatenate(pln),
-                np.concatenate(han) if self.meta["has_lm"] else None)
+                np.concatenate(han) if has_lm else None)
 
     def recognize_signal(self, signal: np.ndarray
                          ) -> Tuple[List[str], str]:
@@ -380,7 +380,7 @@ class E2EServing(_ArtifactBase):
 
     def __init__(self, meta, exported, leaves):
         super().__init__(meta, exported, (leaves,))
-        self.language_vocab = _vocab(meta["language_vocab"])
+        self.language_vocab = build_vocab(meta["language_vocab"])
 
     @classmethod
     def load(cls, path: str) -> "E2EServing":

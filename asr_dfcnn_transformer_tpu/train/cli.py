@@ -803,13 +803,17 @@ def cmd_infer_artifact(args):
     else:
         pinyin, hanzi = served.recognize_signal(sig)
         print("拼音:", " ".join(pinyin))
-        print("汉字:", hanzi)
+        if served.language_vocab is not None:  # --no-lm artifacts have
+            print("汉字:", hanzi)              # no hanzi stage at all
 
 
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     _setup_platform(args)
-    if args.cmd not in ("export", "infer-artifact"):
+    # read-only commands must not run _apply_config: it snapshots the
+    # resolved config over <workdir>/config.json, clobbering the record
+    # written at training time
+    if args.cmd not in ("export", "export-serving", "infer-artifact"):
         _apply_config(args)
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
      "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,

@@ -302,6 +302,37 @@ def test_cli_infer_artifact(workdir, capsys):
     assert "拼音:" in out and "汉字:" in out
 
 
+def test_cli_infer_artifact_no_lm_omits_hanzi(workdir, capsys):
+    """A --no-lm artifact has no hanzi stage; infer-artifact must not
+    print a misleading empty 汉字: line (depends on test_cli_am_train)."""
+    art = os.path.join(workdir, "export", "pipe_nolm.asrx")
+    cli.main(["export-serving", "--workdir", workdir, "--small",
+              "--no-lm", "--out", art, "--serve-batch-sizes", "1",
+              "--serve-buckets", "128"])
+    wav = os.path.join(workdir, "synthetic", "wav", "test", "utt_0.wav")
+    cli.main(["infer-artifact", "--artifact", art, "--wav", wav])
+    out = capsys.readouterr().out
+    assert "拼音:" in out and "汉字:" not in out
+
+
+def test_cli_export_serving_preserves_config_snapshot(workdir):
+    """export-serving is read-only w.r.t. the workdir: it must NOT
+    re-snapshot <workdir>/config.json (it used to run _apply_config,
+    overwriting the config recorded at training time with defaults).
+    Depends on test_cli_am_train / test_cli_lm_train having run."""
+    cfg_path = os.path.join(workdir, "config.json")
+    sentinel = '{"_sentinel": "written by the training run"}'
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        f.write(sentinel)
+    out = os.path.join(workdir, "export", "pipe2.asrx")
+    cli.main(["export-serving", "--workdir", workdir, "--small",
+              "--out", out, "--serve-batch-sizes", "1",
+              "--serve-buckets", "128"])
+    with open(cfg_path, encoding="utf-8") as f:
+        assert f.read() == sentinel
+    assert os.path.exists(out)
+
+
 def test_cli_export_and_eval_lm_tf1(tmp_path, capsys):
     """Round trip the LM through the reference's TF1 Saver format:
     train -> export --what lm -> eval-lm --lm-tf-ckpt (in a workdir with
