@@ -828,8 +828,21 @@ def main():
         if waited > probe_wait:
             print(f"# TPU backend unreachable after {int(waited)}s",
                   file=sys.stderr, flush=True)
+            # the 0.0 line is honest (nothing was measured THIS run);
+            # point the reader at the last on-disk full suite so an
+            # outage doesn't read as a perf regression
+            prior = ""
+            try:
+                with open(os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FULL.json")) as f:
+                    last = json.load(f)["suite"]["am_lm_b128"]
+                prior = (f"; last recorded suite (BENCH_FULL.json): "
+                         f"{last['utts_per_sec']:.0f} utt/s")
+            except Exception:  # noqa: BLE001 — no prior record is fine
+                pass
             emit(note=f"TPU backend unreachable for {int(waited)}s; "
-                      "no measurements")
+                      f"no measurements{prior}")
             sys.exit(1)
         print(f"# waiting for TPU tunnel ({int(waited)}s)...",
               file=sys.stderr, flush=True)

@@ -307,3 +307,26 @@ def test_measure_autos_smoke_harness(tmp_path):
             assert cfg["fwd_ms"] > 0 and cfg["fwdbwd_ms"] > 0, s2c
     fft = next(rec for rec in recs if "fft_epilogue" in rec)["fft_epilogue"]
     assert "xla_ms" in fft and "pallas_ms" in fft, fft
+
+
+def test_bench_unreachable_tunnel_emits_line_with_prior(tmp_path):
+    """probe_wait exhausted -> rc=1 and ONE strict line whose note says
+    no measurements were taken and cites the last recorded suite (so an
+    outage round doesn't read as a perf regression)."""
+    env = dict(os.environ,
+               JAX_PLATFORMS="no_such_platform",  # probe fails anywhere
+               ASR_TPU_BENCH_DEADLINE="600", ASR_TPU_BENCH_PROBE_WAIT="1",
+               ASR_TPU_COMPILE_CACHE=str(tmp_path))
+    env.pop("ASR_TPU_BENCH_CPU", None)
+    r = subprocess.run([sys.executable, str(_BENCH)], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 1, (r.returncode, r.stderr[-300:])
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert rec["value"] == 0.0
+    note = rec["extra"]["note"]
+    assert "unreachable" in note and "no measurements" in note
+    if os.path.exists(os.path.join(os.path.dirname(_BENCH),
+                                   "BENCH_FULL.json")):
+        assert "last recorded suite" in note and "utt/s" in note
