@@ -28,13 +28,19 @@ from jax.experimental import pallas as pl
 
 
 def _epilogue_kernel(zr_ref, zi_ref, out_ref, *, inv_n: float):
-    zr = zr_ref[0]                      # [n2, n1], compute dtype
-    zi = zi_ref[0]
-    zrt = zr.T                          # [n1, n2] — in-VMEM relayout
-    zit = zi.T
-    # even/odd interleave along the minor axis: out[m1, 2*m2 + p]
-    x = jnp.stack([zrt, zit], axis=-1).reshape(zrt.shape[0], -1)
-    out_ref[0] = x.astype(jnp.float32) * inv_n
+    # Upcast + 1/n scale FIRST: relayouts commute with elementwise ops, so
+    # the values stay bit-identical to the XLA path's upcast-then-scale —
+    # and Mosaic (this toolchain) only lowers the relayouts below for
+    # 32-bit types (the bf16 variant fails to compile).
+    zr = zr_ref[0].astype(jnp.float32) * inv_n   # [n2, n1]
+    zi = zi_ref[0].astype(jnp.float32) * inv_n
+    n2, n1 = zr.shape
+    # Interleave on the SUBLANE axis (lane-minor stack + [n1, n2, 2] ->
+    # [n1, 2*n2] collapse is an unsupported Mosaic shape cast): build
+    # xT[2*m2 + p, m1] = z_p[m2, m1] by row interleave, then one in-VMEM
+    # 2D transpose gives out[m1, 2*m2 + p].
+    xt = jnp.stack([zr, zi], axis=1).reshape(2 * n2, n1)
+    out_ref[0] = xt.T
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))

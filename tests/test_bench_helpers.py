@@ -186,6 +186,10 @@ def test_bench_sigterm_during_probe_wait_emits_line(tmp_path):
                ASR_TPU_BENCH_DEADLINE="600", ASR_TPU_BENCH_PROBE_WAIT="300",
                ASR_TPU_COMPILE_CACHE=str(tmp_path))
     env.pop("ASR_TPU_BENCH_CPU", None)
+    # sitecustomize would re-register axon and override JAX_PLATFORMS,
+    # letting the probe SUCCEED against a live tunnel (the TERM would then
+    # test the mid-suite path on the real TPU instead of the probe loop)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     p = subprocess.Popen([sys.executable, str(_BENCH)], env=env,
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True)
@@ -318,6 +322,13 @@ def test_bench_unreachable_tunnel_emits_line_with_prior(tmp_path):
                ASR_TPU_BENCH_DEADLINE="600", ASR_TPU_BENCH_PROBE_WAIT="1",
                ASR_TPU_COMPILE_CACHE=str(tmp_path))
     env.pop("ASR_TPU_BENCH_CPU", None)
+    # The image's sitecustomize registers the axon backend for every
+    # interpreter when PALLAS_AXON_POOL_IPS is set, OVERRIDING
+    # JAX_PLATFORMS — with a live tunnel the probe then SUCCEEDS and
+    # bench runs the real suite (observed: this test timing out at 300 s
+    # mid-benchmark). Dropping the var keeps sitecustomize inert so the
+    # bogus platform genuinely fails the probe subprocess everywhere.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run([sys.executable, str(_BENCH)], env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 1, (r.returncode, r.stderr[-300:])
