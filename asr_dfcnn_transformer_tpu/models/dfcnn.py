@@ -33,7 +33,27 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from asr_dfcnn_transformer_tpu.models.layers import ConvBnCell, SqueezeExcite
+from asr_dfcnn_transformer_tpu.models.layers import (ConvBnCell,
+                                                     SqueezeExcite,
+                                                     bf16_dot_general)
+
+
+def _logits_dense(vocab_size: int, logits_matmul: str) -> nn.Dense:
+    """The final pinyin-logits projection, shared across the AM family.
+
+    ``logits_matmul``: "f32" (default — full f32 matmul, reference
+    numerics) or "bf16" (bf16 operands, f32 accumulation: ~4x MXU rate;
+    the activations are already bf16-rounded by the conv stack, so only
+    the weight rounding is new — see ``layers.bf16_dot_general``). Both
+    use the same ``nn.Dense`` parameters: checkpoints are
+    interchangeable across the setting.
+    """
+    if logits_matmul not in ("f32", "bf16"):
+        raise ValueError(f"logits_matmul must be f32|bf16, "
+                         f"got {logits_matmul!r}")
+    kw = ({"dot_general": bf16_dot_general}
+          if logits_matmul == "bf16" else {})
+    return nn.Dense(vocab_size, dtype=jnp.float32, **kw)
 
 
 class DFCNN(nn.Module):
@@ -41,6 +61,7 @@ class DFCNN(nn.Module):
 
     vocab_size: int
     dropout_rate: float = 0.3
+    logits_matmul: str = "f32"   # see _logits_dense
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -53,7 +74,7 @@ class DFCNN(nn.Module):
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
-        logits = nn.Dense(self.vocab_size, dtype=jnp.float32)(x)
+        logits = _logits_dense(self.vocab_size, self.logits_matmul)(x)
         return logits
 
 
@@ -87,6 +108,7 @@ class SEDFCNN(nn.Module):
     # that bounds the standard train step (DESIGN.md §9). Weight-parity
     # and forward outputs are unchanged (same module names, same math).
     remat_stages: int = 0
+    logits_matmul: str = "f32"   # see _logits_dense
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -132,7 +154,7 @@ class SEDFCNN(nn.Module):
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
-        logits = nn.Dense(self.vocab_size, dtype=jnp.float32)(x)
+        logits = _logits_dense(self.vocab_size, self.logits_matmul)(x)
         return logits
 
 
@@ -145,6 +167,7 @@ class KerasDFCNN(nn.Module):
     vocab_size: int
     dense_units: int = 128
     dropout_rate: float = 0.3
+    logits_matmul: str = "f32"   # see _logits_dense
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -160,7 +183,7 @@ class KerasDFCNN(nn.Module):
         x = nn.Dense(self.dense_units, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
-        logits = nn.Dense(self.vocab_size, dtype=jnp.float32)(x)
+        logits = _logits_dense(self.vocab_size, self.logits_matmul)(x)
         return logits
 
 

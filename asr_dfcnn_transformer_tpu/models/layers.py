@@ -30,6 +30,25 @@ Dtype = jnp.dtype
 _BIG_NEG = -1e9
 
 
+def bf16_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                     preferred_element_type=None):
+    """``lax.dot_general`` with bf16 operands and f32 accumulation.
+
+    Drop-in for ``nn.Dense(dot_general=...)``: the MXU runs bf16 inputs
+    at ~4x the f32 rate and natively accumulates in f32, so forcing the
+    operands down while keeping ``preferred_element_type=f32`` gives the
+    fast path with exact f32 accumulation — the only new error is the
+    bf16 rounding of the operands themselves. For the AM logits head the
+    activations already went through a bf16 conv stack, so only the
+    weight rounding (~3e-3 relative) is new. Output dtype stays f32.
+    """
+    del preferred_element_type  # always f32: the caller wants exact accum
+    return jax.lax.dot_general(
+        lhs.astype(jnp.bfloat16), rhs.astype(jnp.bfloat16),
+        dimension_numbers, precision=precision,
+        preferred_element_type=jnp.float32)
+
+
 class ConvBnCell(nn.Module):
     """Conv3x3(+ReLU) then BatchNorm (the reference's layer order:
     activation inside the conv, BN after — acoustic_model2.py:107-113,127),

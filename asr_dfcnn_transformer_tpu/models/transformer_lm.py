@@ -34,6 +34,7 @@ from asr_dfcnn_transformer_tpu.models.layers import (
     MultiHeadAttention,
     ScaledEmbed,
     attention_mask,
+    bf16_dot_general,
     label_smoothing,
 )
 
@@ -49,6 +50,11 @@ class TransformerLM(nn.Module):
     causal: bool = True
     parity_attention: bool = True
     two_stack: bool = False
+    # "f32" (reference numerics) | "bf16": bf16 operands with f32
+    # accumulation for the final hanzi projection (~4x MXU rate; same
+    # "output" Dense parameters — checkpoints interchangeable). See
+    # layers.bf16_dot_general.
+    logits_matmul: str = "f32"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -75,8 +81,13 @@ class TransformerLM(nn.Module):
                                                deterministic=det)
                 x = FeedForward(self.d_model, dtype=self.dtype,
                                 name=f"block{s}_{i}_ffn")(x, deterministic=det)
+        if self.logits_matmul not in ("f32", "bf16"):
+            raise ValueError(f"logits_matmul must be f32|bf16, got "
+                             f"{self.logits_matmul!r}")
+        kw = ({"dot_general": bf16_dot_general}
+              if self.logits_matmul == "bf16" else {})
         logits = nn.Dense(self.output_vocab_size, dtype=jnp.float32,
-                          name="output")(x)
+                          name="output", **kw)(x)
         return logits
 
 

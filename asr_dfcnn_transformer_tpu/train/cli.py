@@ -84,6 +84,13 @@ def _build_parser():
                                  "match what `am` trained (e.g. "
                                  "se_dfcnn_fast, the ~2.1x-faster "
                                  "space-to-depth training variant)")
+            sp.add_argument("--logits-matmul", default="f32",
+                            choices=["f32", "bf16"],
+                            help="final vocab-projection matmul: f32 "
+                                 "(reference numerics) or bf16 operands "
+                                 "with f32 accumulation (~4x MXU rate; "
+                                 "same parameter tree, checkpoints "
+                                 "interchangeable)")
         if name == "am":
             sp.add_argument("--augment-noise", action="store_true")
         if name in ("eval", "eval-e2e"):
@@ -290,29 +297,32 @@ def _data(args, batch_size, bucket_bounds=(400, 800, 1200, 1600),
     return loader, av, lv
 
 
-def _am_model(name, vocab_size, small, dtype=jnp.bfloat16):
+def _am_model(name, vocab_size, small, dtype=jnp.bfloat16,
+              logits_matmul="f32"):
     from asr_dfcnn_transformer_tpu import models
+    lg = {"logits_matmul": logits_matmul}
     if small:
-        kw = dict(dtype=jnp.float32)
+        kw = dict(dtype=jnp.float32, **lg)
         if name in ("dfcnn",):
             return models.DFCNN(vocab_size, **kw)
         if name == "bigru":
-            return models.BiGRUCTC(vocab_size, hidden=32, num_layers=1, **kw)
+            return models.BiGRUCTC(vocab_size, hidden=32, num_layers=1,
+                                   dtype=jnp.float32)
         if name == "keras_dfcnn":
             return models.KerasDFCNN(vocab_size, dense_units=16, **kw)
         return models.SEDFCNN(vocab_size, stage_features=(4, 4, 8, 8, 8),
                               head_features=8,
                               se_first=(name == "se_dfcnn_pre"), **kw)
     if name == "dfcnn":
-        return models.DFCNN(vocab_size, dtype=dtype)
+        return models.DFCNN(vocab_size, dtype=dtype, **lg)
     if name == "bigru":
         return models.BiGRUCTC(vocab_size, dtype=dtype)
     if name == "keras_dfcnn":
-        return models.KerasDFCNN(vocab_size, dtype=dtype)
+        return models.KerasDFCNN(vocab_size, dtype=dtype, **lg)
     if name == "se_dfcnn_fast":
-        return models.SEDFCNN.fast(vocab_size, dtype=dtype)
+        return models.SEDFCNN.fast(vocab_size, dtype=dtype, **lg)
     return models.SEDFCNN(vocab_size, se_first=(name == "se_dfcnn_pre"),
-                          dtype=dtype)
+                          dtype=dtype, **lg)
 
 
 def _lm_model(av_size, lv_size, small):
@@ -331,7 +341,8 @@ def cmd_am(args):
     bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
     loader, av, lv = _data(args, bsz, bounds)
     train_dl, dev_dl = loader("train", True), loader("dev", False)
-    model = _am_model(args.model, av.size, args.small)
+    model = _am_model(args.model, av.size, args.small,
+                      logits_matmul=getattr(args, "logits_matmul", "f32"))
     tr = AMTrainer(model, args.workdir, lr=args.lr or 7e-4,
                    augment_noise=args.augment_noise)
     first = next(train_dl.am_batches(bsz, shuffle=False))
@@ -614,7 +625,8 @@ def _load_pipeline(args, decode="greedy", beam_width=8, need_am=True):
                                load_tf1_sedfcnn(args.am_tf_ckpt, av.size))
     else:
         am = _am_model(getattr(args, "model", "se_dfcnn"), av.size,
-                       args.small)
+                       args.small,
+                       logits_matmul=getattr(args, "logits_matmul", "f32"))
         amt = AMTrainer(am, args.workdir)
         if need_am or amt.ckpt.latest_step() is not None:
             _require_ckpt(amt, "AM", args.workdir)

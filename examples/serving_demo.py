@@ -18,7 +18,12 @@ Runtime ~2 min on CPU.
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax; jax.config.update('jax_platforms', 'cpu')
+import jax
+# ASR_DEMO_PLATFORM=tpu runs the same demo on the device — the exported
+# artifact then embeds the TPU-lowered programs (auto-selected Pallas
+# kernels included), making this the on-device export-serving smoke.
+jax.config.update('jax_platforms',
+                  os.environ.get('ASR_DEMO_PLATFORM', 'cpu'))
 import numpy as np, jax.numpy as jnp
 from asr_dfcnn_transformer_tpu.core import vocab
 from asr_dfcnn_transformer_tpu.data import DataLoader, load_manifests, make_synthetic_corpus

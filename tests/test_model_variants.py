@@ -94,6 +94,50 @@ def test_sedfcnn_remat_stages_weight_parity_and_math():
                                    rtol=1e-3, atol=1e-4, err_msg=str(k))
 
 
+def test_logits_matmul_bf16_checkpoint_parity():
+    """logits_matmul='bf16' (bf16 operands, f32 accumulation — the ~4x
+    MXU path for the final vocab projection) keeps the exact parameter
+    tree of the default f32 path, and its logits differ only by the
+    bf16 rounding of the operands."""
+    import pytest
+
+    from asr_dfcnn_transformer_tpu.models import SEDFCNN
+    kw = dict(stage_features=(4, 4, 8, 8, 8), se_ratio=(1, 2, 2, 2, 2),
+              head_features=8, dropout_rate=0.0, dtype=jnp.float32)
+    m0 = SEDFCNN(64, **kw)
+    m1 = SEDFCNN(64, logits_matmul="bf16", **kw)
+    x = np.random.default_rng(1).standard_normal((2, 32, 40, 1)) \
+        .astype(np.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v0) == \
+        jax.tree_util.tree_structure(v1)   # same Dense_* names
+    y0 = np.asarray(m0.apply(v0, x, train=False))
+    y1 = np.asarray(m1.apply(v0, x, train=False))  # f32-init weights
+    assert y1.dtype == np.float32
+    np.testing.assert_allclose(y0, y1, rtol=2e-2, atol=2e-2)
+    assert not np.array_equal(y0, y1)      # it actually took the bf16 path
+
+    with pytest.raises(ValueError, match="logits_matmul"):
+        SEDFCNN(64, logits_matmul="fp8", **kw).init(
+            jax.random.PRNGKey(0), x, train=False)
+
+    # the TransformerLM carries the same flag on its "output" Dense
+    from asr_dfcnn_transformer_tpu.models import TransformerLM
+    lkw = dict(d_model=32, num_heads=4, num_blocks=1, dropout_rate=0.0,
+               dtype=jnp.float32)
+    l0 = TransformerLM(40, 50, **lkw)
+    l1 = TransformerLM(40, 50, logits_matmul="bf16", **lkw)
+    ids = jnp.asarray(np.random.default_rng(2).integers(1, 40, (2, 8)))
+    lv = l0.init(jax.random.PRNGKey(0), ids, train=False)
+    assert jax.tree_util.tree_structure(lv) == jax.tree_util.tree_structure(
+        l1.init(jax.random.PRNGKey(0), ids, train=False))
+    z0 = np.asarray(l0.apply(lv, ids, train=False))
+    z1 = np.asarray(l1.apply(lv, ids, train=False))
+    np.testing.assert_allclose(z0, z1, rtol=2e-2, atol=2e-2)
+    assert not np.array_equal(z0, z1)
+
+
 def test_dual_axis_heads_are_reshape_only():
     """DualAxisAttentionBlock.num_heads changes no parameter shapes —
     checkpoints are interchangeable across head counts (the perf lever
