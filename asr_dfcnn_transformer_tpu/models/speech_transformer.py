@@ -102,10 +102,11 @@ class Stride2Conv(nn.Module):
     tree ``nn.Conv`` stores), 4x the contraction depth for the MXU.
 
     ``layout``: "plain" (the nn.Conv-equivalent direct conv), "pack", or
-    "auto". "auto" currently resolves to "plain" everywhere: the packed
-    path's win is not yet measured on hardware (flip here once it is —
-    FbankConfig "auto"-crossover convention). Odd T/F fall back to plain
-    (the packing needs even extents).
+    "auto". "auto" resolves to "plain": MEASURED on v5e (round 4,
+    tools/measure_autos.py, 1600x80 frames) the packed path LOSES —
+    fwd 0.86x (b8) / 0.72x (b64), fwd+bwd 0.80x; the 4x-deeper
+    contraction doesn't pay for its relayouts at C_out=64 (DESIGN.md
+    §9). Odd T/F fall back to plain (the packing needs even extents).
     """
 
     features: int
@@ -125,7 +126,7 @@ class Stride2Conv(nn.Module):
         w = kernel.astype(self.dtype)
         layout = self.layout
         if layout == "auto":
-            layout = "plain"    # packed win unmeasured; see docstring
+            layout = "plain"    # measured: pack loses on v5e (docstring)
         if layout not in ("plain", "pack"):
             raise ValueError(f"layout must be auto|plain|pack, got "
                              f"{self.layout!r}")

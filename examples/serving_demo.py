@@ -19,9 +19,11 @@ import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
-# ASR_DEMO_PLATFORM=tpu runs the same demo on the device — the exported
-# artifact then embeds the TPU-lowered programs (auto-selected Pallas
-# kernels included), making this the on-device export-serving smoke.
+# ASR_DEMO_PLATFORM=<jax platform> runs the same demo on a device (e.g.
+# "tpu" on a real TPU host, "axon" through this image's tunnel) — the
+# exported artifact then embeds the TPU-lowered programs (auto-selected
+# Pallas kernels included), making this the on-device export-serving
+# smoke.
 jax.config.update('jax_platforms',
                   os.environ.get('ASR_DEMO_PLATFORM', 'cpu'))
 import numpy as np, jax.numpy as jnp

@@ -313,6 +313,28 @@ def test_measure_autos_smoke_harness(tmp_path):
     assert "xla_ms" in fft and "pallas_ms" in fft, fft
 
 
+def test_profile_am_fwd_smoke_harness(tmp_path):
+    """tools/profile_am_fwd.py must stay runnable: it is the script the
+    DESIGN §9 AM-forward stage ledger comes from (slope-timed per-stage
+    decomposition of the pipeline's dominant cost). --cpu --smoke runs
+    every stage plus the f32/bf16 logits comparison on tiny shapes."""
+    tools = os.path.join(_BENCH.rsplit("/", 1)[0], "tools",
+                         "profile_am_fwd.py")
+    env = dict(os.environ, ASR_TPU_COMPILE_CACHE=str(tmp_path))
+    r = subprocess.run([sys.executable, tools, "--cpu", "--smoke"],
+                       env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    recs = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+    stages = next(rec for rec in recs if "am_fwd_stages" in rec
+                  )["am_fwd_stages"]
+    for k in ("cell1_pooled_fullres", "stage1_rest", "stage2", "stage3",
+              "stages45_head", "logits_dense_f32",
+              "logits_dense_bf16acc32", "full_sedfcnn_logits_f32",
+              "full_sedfcnn_logits_bf16"):
+        assert k in stages, (k, stages)
+
+
 def test_bench_unreachable_tunnel_emits_line_with_prior(tmp_path):
     """probe_wait exhausted -> rc=1 and ONE strict line whose note says
     no measurements were taken and cites the last recorded suite (so an
