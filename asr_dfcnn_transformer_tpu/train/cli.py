@@ -93,6 +93,10 @@ def _build_parser():
                                  "interchangeable)")
         if name == "am":
             sp.add_argument("--augment-noise", action="store_true")
+            sp.add_argument("--augment-spec", action="store_true",
+                            help="SpecAugment time/freq masking inside "
+                                 "the jitted train step (beyond "
+                                 "reference; audio/specaugment.py)")
         if name in ("eval", "eval-e2e"):
             sp.add_argument("--decode", default="greedy",
                             choices=["greedy", "beam"])
@@ -344,7 +348,8 @@ def cmd_am(args):
     model = _am_model(args.model, av.size, args.small,
                       logits_matmul=getattr(args, "logits_matmul", "f32"))
     tr = AMTrainer(model, args.workdir, lr=args.lr or 7e-4,
-                   augment_noise=args.augment_noise)
+                   augment_noise=args.augment_noise,
+                   augment_spec=getattr(args, "augment_spec", False))
     first = next(train_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(
         jax.random.PRNGKey(args.seed), first))

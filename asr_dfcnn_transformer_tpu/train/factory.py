@@ -95,7 +95,7 @@ def build_loader(cfg: Config, mode: str, shuffle: Optional[bool] = None,
 
 
 def build_am_trainer(cfg: Config, workdir: str, mesh=None,
-                     augment_noise: bool = False):
+                     augment_noise: bool = False, augment_spec=None):
     from asr_dfcnn_transformer_tpu.train import AMTrainer
     return AMTrainer(build_am_model(cfg), workdir, lr=cfg.am.lr,
                      decay_steps=cfg.train.decay_steps,
@@ -103,6 +103,7 @@ def build_am_trainer(cfg: Config, workdir: str, mesh=None,
                      feature_dim=cfg.am.feature_dim,
                      mesh=mesh or build_mesh(cfg),
                      augment_noise=augment_noise,
+                     augment_spec=augment_spec,
                      max_to_keep=cfg.train.max_to_keep)
 
 

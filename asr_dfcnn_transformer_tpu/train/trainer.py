@@ -31,7 +31,8 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
-from asr_dfcnn_transformer_tpu.audio import batched_fbank, add_noise_batch
+from asr_dfcnn_transformer_tpu.audio import (batched_fbank, add_noise_batch,
+                                             SpecAugmentConfig, spec_augment)
 from asr_dfcnn_transformer_tpu.audio.fbank import FbankConfig
 from asr_dfcnn_transformer_tpu.audio.lfr import batched_lfr
 from asr_dfcnn_transformer_tpu.core import constants
@@ -174,13 +175,19 @@ class AMTrainer(_TrainerBase):
     def __init__(self, model, workdir: str, lr: float = 7e-4,
                  decay_steps: int = 5000, min_lr: float = 1e-6,
                  feature_dim: int = 200, mesh=None,
-                 augment_noise: bool = False, max_to_keep: int = 5):
+                 augment_noise: bool = False,
+                 augment_spec=None, max_to_keep: int = 5):
         super().__init__(workdir, "am", lr, decay_steps, min_lr, mesh,
                          max_to_keep)
         self.model = model
         self.feature_dim = feature_dim
         self.fbank_cfg = FbankConfig(nfilt=feature_dim)
         self.augment_noise = augment_noise
+        # SpecAugment (beyond reference — audio/specaugment.py):
+        # None = off, True = default SpecAugmentConfig, or a config.
+        if augment_spec is True:
+            augment_spec = SpecAugmentConfig()
+        self.augment_spec = augment_spec or None
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
@@ -205,10 +212,15 @@ class AMTrainer(_TrainerBase):
             if self.augment_noise:
                 rng, nkey = jax.random.split(rng)
                 signals = add_noise_batch(nkey, signals, signal_lengths)
+            if self.augment_spec is not None:
+                rng, skey = jax.random.split(rng)
 
             def loss_fn(params):
-                feats, _ = self._features(signals, signal_lengths,
-                                          bucket_frames)
+                feats, valid = self._features(signals, signal_lengths,
+                                              bucket_frames)
+                if self.augment_spec is not None:
+                    feats = spec_augment(skey, feats, valid,
+                                         self.augment_spec)
                 logits, updates = self.model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     feats, train=True, mutable=["batch_stats"],
