@@ -9,7 +9,11 @@ from asr_dfcnn_transformer_tpu.infer.export_serving import (  # noqa: F401
 )
 from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline, EvalResult  # noqa: F401
 from asr_dfcnn_transformer_tpu.infer.serving import BatchingServer, ServerStats  # noqa: F401
-from asr_dfcnn_transformer_tpu.infer.streaming import StreamingRecognizer  # noqa: F401
+from asr_dfcnn_transformer_tpu.infer.stream_pool import StreamPool  # noqa: F401
+from asr_dfcnn_transformer_tpu.infer.streaming import (  # noqa: F401
+    IncrementalRecognizer,
+    StreamingRecognizer,
+)
 from asr_dfcnn_transformer_tpu.infer.tf_ckpt import (  # noqa: F401
     export_tf1_sedfcnn,
     list_tf_checkpoint,

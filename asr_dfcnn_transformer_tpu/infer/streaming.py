@@ -150,6 +150,20 @@ class IncrementalRecognizer:
             self._gmean = np.asarray(m, np.float32).reshape(1, -1)
             s = np.asarray(s, np.float32).reshape(1, -1)
             self._gstd = np.where(s == 0.0, 1.0, s)
+        self._window_frames = 2 * self.halo + 8 * self.chunk_logits
+        self._lm_cap = self.pipeline.lm_max_len
+        self._build_programs()
+        self.reset()
+
+    def _build_programs(self):
+        """Compile this instance's device programs. Overridden by
+        ``infer.stream_pool._PoolSlot``, which shares the pool's batched
+        programs instead and drives the ``_feat_take``/``_feat_put`` and
+        ``_plan_chunk``/``_consume_*`` hooks below directly."""
+        import jax
+        import jax.numpy as jnp
+
+        from asr_dfcnn_transformer_tpu.audio import fbank as fb
 
         cfg_nopre = fb.FbankConfig(
             sample_rate=self.cfg.sample_rate, win_len=self.cfg.win_len,
@@ -161,8 +175,6 @@ class IncrementalRecognizer:
         def feat_group(pe_samples):
             # pe_samples: [(G-1)*hop + win] pre-emphasized -> [G, nfilt]
             return fb.logfbank(pe_samples, cfg_nopre)
-
-        w = 2 * self.halo + 8 * self.chunk_logits
 
         # Both programs return ALL of the window's logit rows (tiny
         # arrays); the caller selects the exact rows host-side. This lets
@@ -194,8 +206,6 @@ class IncrementalRecognizer:
 
         self._am_rows_lp_fn = am_rows_lp
 
-        lm_cap = self.pipeline.lm_max_len
-
         @jax.jit
         def lm_prefix(ids, n):
             lm_logits = self.pipeline.lm_model.apply(
@@ -206,9 +216,6 @@ class IncrementalRecognizer:
         self._feat_group_fn = feat_group
         self._am_rows_fn = am_rows
         self._lm_prefix_fn = lm_prefix
-        self._lm_cap = lm_cap
-        self._window_frames = w
-        self.reset()
 
     # -- state ---------------------------------------------------------
 
@@ -247,29 +254,50 @@ class IncrementalRecognizer:
         std = np.where(std == 0.0, 1.0, std)
         return ((group - mean) / std).astype(np.float32)
 
-    def _emit_frames(self, pe_chunk: np.ndarray, *, final: bool = False):
-        """Run mel+log on fixed-size frame groups; normalize and append."""
-        cfg = self.cfg
-        self._pe_tail = np.concatenate([self._pe_tail, pe_chunk])
-        g = self.frame_group
+    # The feature stage is split into pool-drivable hooks: `_feat_take*`
+    # pop pre-emphasized sample segments (pure host state), the caller
+    # runs mel+log on them (per-instance program here; one batched
+    # program for all slots in infer.stream_pool), `_feat_put` appends
+    # the raw rows and normalizes completed groups. Group boundaries —
+    # and therefore the running-CMVN statistics — depend only on frame
+    # counts, so driving the hooks one segment at a time is exactly
+    # equivalent to the original single-call loop.
+
+    def _feat_take(self) -> Optional[np.ndarray]:
+        """Pop the next full frame-group sample segment, or None."""
+        cfg, g = self.cfg, self.frame_group
         need = (g - 1) * cfg.hop + cfg.win_len
-        while len(self._pe_tail) >= need:
-            feats = np.asarray(self._feat_group_fn(self._pe_tail[:need]))
-            self._raw_group = np.concatenate([self._raw_group, feats])
-            self._pe_tail = self._pe_tail[g * cfg.hop:]
-            self._frames_done += g
-        if final:
-            from asr_dfcnn_transformer_tpu.audio.fbank import num_frames
-            total = num_frames(self._n_samples, cfg)
-            rem = total - self._frames_done
-            if rem > 0:
-                pad = np.zeros((need,), np.float32)
-                pad[: len(self._pe_tail)] = self._pe_tail
-                feats = np.asarray(self._feat_group_fn(pad))[:rem]
-                self._raw_group = np.concatenate([self._raw_group, feats])
-                self._frames_done = total
+        if len(self._pe_tail) < need:
+            return None
+        seg = self._pe_tail[:need]
+        self._pe_tail = self._pe_tail[g * cfg.hop:]
+        self._frames_done += g
+        return seg
+
+    def _feat_take_final(self) -> Optional[Tuple[np.ndarray, int]]:
+        """Pop the zero-padded tail segment and its true row count, or
+        None when the stream already ended on a group boundary. Call
+        only after `_feat_take` returns None."""
+        from asr_dfcnn_transformer_tpu.audio.fbank import num_frames
+        cfg, g = self.cfg, self.frame_group
+        need = (g - 1) * cfg.hop + cfg.win_len
+        total = num_frames(self._n_samples, cfg)
+        rem = total - self._frames_done
+        if rem <= 0:
             self._pe_tail = np.zeros((0,), np.float32)
-        # normalize in full groups (plus the final remainder)
+            return None
+        pad = np.zeros((need,), np.float32)
+        pad[: len(self._pe_tail)] = self._pe_tail
+        self._pe_tail = np.zeros((0,), np.float32)
+        self._frames_done = total
+        return pad, rem
+
+    def _feat_put(self, feats: np.ndarray, *, final: bool = False):
+        """Append raw log-mel rows; normalize completed groups (all
+        remaining rows when ``final``)."""
+        g = self.frame_group
+        if feats.shape[0]:
+            self._raw_group = np.concatenate([self._raw_group, feats])
         while self._raw_group.shape[0] >= g:
             self._feats = np.concatenate(
                 [self._feats, self._normalize(self._raw_group[:g])])
@@ -278,6 +306,18 @@ class IncrementalRecognizer:
             self._feats = np.concatenate(
                 [self._feats, self._normalize(self._raw_group)])
             self._raw_group = np.zeros((0, self.nfilt), np.float32)
+
+    def _emit_frames(self, *, final: bool = False):
+        """Run mel+log on every ready frame group; normalize and append."""
+        while (seg := self._feat_take()) is not None:
+            self._feat_put(np.asarray(self._feat_group_fn(seg)))
+        if final:
+            tail = self._feat_take_final()
+            if tail is not None:
+                seg, rem = tail
+                self._feat_put(np.asarray(self._feat_group_fn(seg))[:rem])
+            self._feat_put(np.zeros((0, self.nfilt), np.float32),
+                           final=True)
 
     def _window(self, start_frame: int, size: Optional[int] = None
                 ) -> np.ndarray:
@@ -289,79 +329,102 @@ class IncrementalRecognizer:
             out[lo - start_frame: hi - start_frame] = self._feats[lo:hi]
         return out
 
-    def _decode_ready(self, *, final: bool = False):
-        cl = self.chunk_logits
-        wf = self._window_frames
-        if final:
-            # offline parity: Pipeline.recognize_signal computes
-            # in_len = min(frames//8 + 1, bucket_frames//8) with
-            # bucket_frames = infer_bucket_frames(frames) — when the frame
-            # count lands exactly on a bucket boundary the +1 row does not
-            # exist offline, so it must not be decoded here either
-            # (ADVICE r3 #1); the rule is SHARED with the offline path so
-            # the two can never drift
-            from asr_dfcnn_transformer_tpu.infer.pipeline import (
-                infer_bucket_frames)
-            bucket = infer_bucket_frames(self._frames_done)
-            total = min(self._frames_done // 8 + 1, bucket // 8,
-                        self.max_logits)
-        while True:
-            have = self._feats.shape[0]
-            if not final:
-                # every frame of the (possibly head-clamped) window must be
-                # real before decoding mid-stream — a zero-filled right
-                # part would differ from the offline content there
-                if max(8 * self._logits_done - self.halo, 0) + wf > have:
-                    break
-                # max_logits bounds mid-stream decoding too, not just the
-                # finalize flush (ADVICE r3 #2)
-                n_new = min(cl, self.max_logits - self._logits_done)
-                if n_new <= 0:
-                    break
-            else:
-                n_new = min(cl, total - self._logits_done)
-                if n_new <= 0:
-                    break
-            # Window placement (see the __init__ comment on program-edge
-            # exactness): start clamps at frame 0 so the utterance head
-            # shares the offline program's left edge; at finalize, once a
-            # centered window would cross the bucket edge, the last window
-            # aligns to END at `bucket` (the offline right edge) and
-            # finishes every remaining row in one shot.
+    def _plan_chunk(self, *, final: bool = False
+                    ) -> Optional[Tuple[int, int, int, int]]:
+        """The next AM window to decode, or None when nothing is ready.
+
+        Returns ``(start, win_rows, r0, n_new)``: run the AM on
+        ``self._window(start, win_rows)`` and keep logit rows
+        ``[r0, r0 + n_new)``. Pure state read — the caller (the
+        single-stream loop below, or a StreamPool batching many slots'
+        plans into one program) runs the device work and then feeds the
+        rows to ``_consume_ids``/``_consume_beam``.
+
+        Window placement (see the `_build_programs` comment on
+        program-edge exactness): start clamps at frame 0 so the
+        utterance head shares the offline program's left edge; at
+        finalize, once a centered window would cross the bucket edge,
+        the last window aligns to END at `bucket` (the offline right
+        edge) and finishes every remaining row in one shot.
+        """
+        cl, wf = self.chunk_logits, self._window_frames
+        if not final:
+            # every frame of the (possibly head-clamped) window must be
+            # real before decoding mid-stream — a zero-filled right
+            # part would differ from the offline content there
             start = max(8 * self._logits_done - self.halo, 0)
-            win_rows = wf
-            if final and start + wf > bucket:
-                start = max(bucket - wf, 0)
-                win_rows = min(wf, bucket)
-                n_new = total - self._logits_done
-            r0 = self._logits_done - start // 8
+            if start + wf > self._feats.shape[0]:
+                return None
+            # max_logits bounds mid-stream decoding too, not just the
+            # finalize flush (ADVICE r3 #2)
+            n_new = min(cl, self.max_logits - self._logits_done)
+            if n_new <= 0:
+                return None
+            return start, wf, self._logits_done - start // 8, n_new
+        # offline parity: Pipeline.recognize_signal computes
+        # in_len = min(frames//8 + 1, bucket_frames//8) with
+        # bucket_frames = infer_bucket_frames(frames) — when the frame
+        # count lands exactly on a bucket boundary the +1 row does not
+        # exist offline, so it must not be decoded here either
+        # (ADVICE r3 #1); the rule is SHARED with the offline path so
+        # the two can never drift
+        from asr_dfcnn_transformer_tpu.infer.pipeline import (
+            infer_bucket_frames)
+        bucket = infer_bucket_frames(self._frames_done)
+        total = min(self._frames_done // 8 + 1, bucket // 8,
+                    self.max_logits)
+        n_new = min(cl, total - self._logits_done)
+        if n_new <= 0:
+            return None
+        start = max(8 * self._logits_done - self.halo, 0)
+        win_rows = wf
+        if start + wf > bucket:
+            start = max(bucket - wf, 0)
+            win_rows = min(wf, bucket)
+            n_new = total - self._logits_done
+        return start, win_rows, self._logits_done - start // 8, n_new
+
+    def _advance(self, n_new: int):
+        self._logits_done += n_new
+
+    def _consume_ids(self, ids: np.ndarray):
+        """Fold a chunk's greedy argmax rows into the collapse state."""
+        self._advance(len(ids))
+        # blank = vocab - 1 (reference convention, acoustic_model.py:76)
+        blank = self.pipeline.am_model.vocab_size - 1
+        for v in ids:
+            v = int(v)
+            if v != self._carry_id and v != blank \
+                    and len(self._ids) < self._lm_cap:
+                self._ids.append(v)
+            self._carry_id = v
+
+    def _consume_beam(self, lp):
+        """Advance the prefix beam over a chunk's [1, n, V] log-probs."""
+        from asr_dfcnn_transformer_tpu.ops import (
+            ctc_beam_search_stream_step)
+        self._beam_state = ctc_beam_search_stream_step(
+            self._beam_state, lp, beam_width=self.beam_width,
+            topk=self.beam_width, blank_id=-1)
+        self._advance(lp.shape[1])
+
+    def _decode_ready(self, *, final: bool = False):
+        while (plan := self._plan_chunk(final=final)) is not None:
+            start, win_rows, r0, n_new = plan
             window = self._window(start, win_rows)
             if self.decode == "beam":
-                from asr_dfcnn_transformer_tpu.ops import (
-                    ctc_beam_search_stream_step)
-                lp = self._am_rows_lp_fn(window)[:, r0: r0 + n_new]
-                self._beam_state = ctc_beam_search_stream_step(
-                    self._beam_state, lp, beam_width=self.beam_width,
-                    topk=self.beam_width, blank_id=-1)
-                self._logits_done += n_new
-                continue
-            ids = np.asarray(self._am_rows_fn(window))[r0: r0 + n_new]
-            self._logits_done += n_new
-            # blank = vocab - 1 (reference convention, acoustic_model.py:76)
-            blank = self.pipeline.am_model.vocab_size - 1
-            for v in ids:
-                v = int(v)
-                if v != self._carry_id and v != blank \
-                        and len(self._ids) < self._lm_cap:
-                    self._ids.append(v)
-                self._carry_id = v
+                self._consume_beam(
+                    self._am_rows_lp_fn(window)[:, r0: r0 + n_new])
+            else:
+                self._consume_ids(
+                    np.asarray(self._am_rows_fn(window))[r0: r0 + n_new])
 
     # -- public API ----------------------------------------------------
 
-    def push(self, chunk: np.ndarray):
-        chunk = np.asarray(chunk, np.float32).reshape(-1)
-        if chunk.size == 0:
-            return
+    def _buffer_push(self, chunk: np.ndarray):
+        """Pre-emphasize (carrying the last raw sample across pushes)
+        and buffer a non-empty float32 chunk. Host-only — no device
+        work; the pool uses this directly."""
         if self._last_raw is None:
             pe = np.concatenate(
                 [chunk[:1],
@@ -371,7 +434,15 @@ class IncrementalRecognizer:
                 [[self._last_raw], chunk[:-1]])
         self._last_raw = float(chunk[-1])
         self._n_samples += chunk.size
-        self._emit_frames(pe.astype(np.float32))
+        self._pe_tail = np.concatenate([self._pe_tail,
+                                        pe.astype(np.float32)])
+
+    def push(self, chunk: np.ndarray):
+        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        if chunk.size == 0:
+            return
+        self._buffer_push(chunk)
+        self._emit_frames()
         self._decode_ready()
 
     @property
@@ -401,7 +472,7 @@ class IncrementalRecognizer:
 
     def finalize(self) -> Tuple[List[str], str]:
         """Flush tail frames/logits and return the final hypothesis."""
-        self._emit_frames(np.zeros((0,), np.float32), final=True)
+        self._emit_frames(final=True)
         self._decode_ready(final=True)
         return self.partial()
 

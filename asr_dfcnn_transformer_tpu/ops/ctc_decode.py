@@ -326,7 +326,8 @@ def ctc_beam_search_stream_init(batch: int, beam_width: int = 8,
                                              "blank_id"))
 def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
                                 beam_width: int = 8, topk: int = 8,
-                                blank_id: int = -1):
+                                blank_id: int = -1,
+                                frame_counts: jnp.ndarray | None = None):
     """Advance the prefix beam search over a chunk of frames.
 
     The stateful (incremental) form of :func:`ctc_beam_search_decode`'s
@@ -338,7 +339,12 @@ def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
       state: from :func:`ctc_beam_search_stream_init` (batch, W, Lcap
         are baked into its shapes).
       log_probs: [B, Tc, V] already-normalized log-probs for the NEW
-        frames only (every fed frame is treated as valid).
+        frames only.
+      frame_counts: optional [B] int — per-row count of VALID new
+        frames in this chunk; rows freeze past their count, so a
+        multi-stream pool (``infer.stream_pool.StreamPool``) can
+        advance slots at different stream positions (including count 0
+        = untouched) in ONE call. None = every fed frame is valid.
     Returns: the advanced state. Read results with
       :func:`ctc_beam_search_stream_best`.
     """
@@ -347,7 +353,8 @@ def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
     lcap = state[0].shape[2]
     blank = blank_id % v
     k = min(topk, v)
-    step = _make_beam_step(b, w, k, lcap, blank, logit_lengths=None)
+    step = _make_beam_step(b, w, k, lcap, blank,
+                           logit_lengths=frame_counts)
     lp = log_probs.astype(jnp.float32)
     top_lp, top_ids = _topk_last(lp, k)
     xs = (jnp.moveaxis(lp, 1, 0), jnp.moveaxis(top_lp, 1, 0),

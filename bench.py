@@ -484,6 +484,53 @@ def bench_streaming_chunk(m, chunk_logits=16, halo=64):
             "rtfx": round(chunk_audio_s / total, 1), **roof}
 
 
+def bench_streaming_pool(m, n_streams=16, chunk_logits=16, halo=64):
+    """Device-side cost of one multi-stream pool round
+    (infer/stream_pool.py:StreamPool): the batched [N, window, nfilt]
+    AM forward plus the batched [N, samples] fbank group — the two
+    programs one `pool.step()` round runs for N concurrent streams.
+    Reports the per-stream chunk cost and the resulting real-time
+    stream capacity per chip; compare `streaming_chunk` (N=1) for the
+    batching win. Host-side bookkeeping (numpy window assembly, CTC
+    collapse) is excluded here exactly as in `streaming_chunk`."""
+    import jax
+    import jax.numpy as jnp
+
+    win = 2 * halo + 8 * chunk_logits
+
+    def am_chunk(windows):
+        logits = m.am.apply(m.am_vars, windows[:, :, :, None], train=False)
+        q0 = halo // 8
+        return jnp.argmax(logits[:, q0: q0 + chunk_logits], axis=-1)
+
+    rs = np.random.default_rng(_SALT)
+    wnd = jax.device_put(rs.standard_normal((n_streams, win, 200))
+                         .astype(np.float32))
+    dt_am, roof = _scan_time(lambda z, i: am_chunk(z), wnd, iters=200,
+                             min_bytes=_tree_bytes(m.am_vars) + wnd.nbytes)
+
+    from asr_dfcnn_transformer_tpu.audio import fbank as fb
+    group = 8 * chunk_logits
+    cfg = fb.FbankConfig(preemph=0.0, backend="xla")
+    pe = jax.device_put(rs.standard_normal(
+        (n_streams, (group - 1) * 160 + 400)).astype(np.float32))
+    dt_fb, _ = _scan_time(
+        lambda z, i: jax.vmap(lambda s: fb.logfbank(s, cfg))(z), pe,
+        iters=200)
+
+    chunk_audio_s = 8 * chunk_logits * 0.010
+    total = dt_am + dt_fb
+    per_stream = total / n_streams
+    return {"round_ms": round(1000 * total, 3),
+            "n_streams": n_streams,
+            "per_stream_chunk_ms": round(1000 * per_stream, 4),
+            "am_window_ms": round(1000 * dt_am, 3),
+            "fbank_group_ms": round(1000 * dt_fb, 3),
+            "chunk_audio_s": chunk_audio_s,
+            "realtime_streams_per_chip": round(chunk_audio_s / per_stream),
+            **roof}
+
+
 def _train_scan_time(step_fn, state, steps, extra_bytes=0):
     """Slope timing for a training step: two AOT-compiled scans of the
     step (_LO and _LO+steps trips) from the same initial state, each run
@@ -672,6 +719,7 @@ def main():
         ("beam_noise_pipeline", lambda: bench_am_lm(
             models["m"], batch, decode="beam", noise=True, iters=50)),
         ("streaming_chunk", lambda: bench_streaming_chunk(models["m"])),
+        ("streaming_pool16", lambda: bench_streaming_pool(models["m"])),
         ("am_lm_fast_b128", lambda: bench_am_lm(
             models["m"], batch, am=models["m"].fast,
             am_vars=models["m"].fast_vars)),
