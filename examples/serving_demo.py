@@ -10,6 +10,9 @@ Trains a tiny AM+LM, then walks the three serving layers:
 3. ``ServingPipeline.load`` — artifact-only inference (no model code,
    checkpoints or assets) whose outputs must match the live pipeline
    exactly.
+4. ``StreamPool`` — concurrent LIVE audio streams multiplexed through
+   one batched compiled program per stage; finals must match the
+   offline pipeline's per-utterance results.
 
 Runtime ~2 min on CPU.
 
@@ -90,5 +93,25 @@ assert np.array_equal(np.asarray(live[2]), aot[2])
 pinyin, hanzi = served.recognize_signal(
     test_batch.signals[0][: test_batch.signal_lengths[0]])
 print(f'AOT ARTIFACT utt0: {" ".join(pinyin)} | {hanzi}', flush=True)
+
+# 4. multi-stream pool: 4 concurrent live streams, interleaved 0.25 s
+# chunks, one batched device program per stage per round
+from asr_dfcnn_transformer_tpu.infer import StreamPool
+pool = StreamPool(pipe, n_slots=4)
+sigs = [np.asarray(test_batch.signals[i][: test_batch.signal_lengths[i]])
+        for i in range(4)]
+slots = [pool.open() for _ in sigs]
+offs = [0] * len(sigs)
+hop = 4000
+while any(o < len(s) for o, s in zip(offs, sigs)):
+    for k, s in enumerate(sigs):
+        if offs[k] < len(s):
+            pool.push(slots[k], s[offs[k]: offs[k] + hop], step=False)
+            offs[k] += hop
+    pool.step()
+for k, sl in enumerate(slots):
+    pinyin, hanzi = pool.finalize(sl)
+    print(f'STREAM POOL utt{k}: {" ".join(pinyin)} | {hanzi}', flush=True)
+    pool.close(sl)
 print('SERVING DEMO OK: artifact outputs match the live pipeline exactly',
       flush=True)

@@ -1,0 +1,188 @@
+"""Per-stage slope-timed profile of the TransformerLM inference forward.
+
+bench.py's `lm_only` config (b128, seq 64) measures 7.3 ms at 48% MFU —
+low for a chain of [8192, 512] x [512, 512|2048] matmuls that should sit
+near the MXU peak. This script isolates where the non-matmul half goes:
+embedding, one attention block (whole / matmuls-only / softmax+mask
+overhead), one FFN block, the 12-block stack, and the final f32 vocab
+projection. Slope-timed (bench._scan_time) for the tunneled backend's
+three measurement traps.
+
+Prints one JSON object per experiment; record results in DESIGN.md §9.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def profile_stages(batch=128, seq=64, smoke=False):
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from asr_dfcnn_transformer_tpu.models.layers import (FeedForward,
+                                                         MultiHeadAttention,
+                                                         attention_mask)
+    from asr_dfcnn_transformer_tpu.models.transformer_lm import TransformerLM
+
+    if smoke:
+        batch, seq, d, heads, blocks, vin, vout = 2, 8, 16, 2, 2, 32, 48
+    else:
+        d, heads, blocks, vin, vout = 512, 8, 12, 1536, 6345
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    def slope(label, mod, x0, iters=60, apply_kw=None):
+        params = mod.init(jax.random.PRNGKey(1), x0, **(apply_kw or {}))
+
+        def fwd(x, i):
+            return mod.apply(params, x, **(apply_kw or {}))
+
+        dt, _ = bench._scan_time(fwd, x0, iters=iters)
+        out[label] = round(1e3 * dt, 3)
+        return dt
+
+    ids0 = jax.random.randint(key, (batch, seq), 3, vin - 1, jnp.int32)
+    x0 = jnp.asarray(0.1 * jax.random.normal(key, (batch, seq, d)),
+                     jnp.bfloat16)
+
+    # 1) the full model, for the stage cross-check
+    lm = TransformerLM(vin, vout, d_model=d, num_heads=heads,
+                       num_blocks=blocks, dropout_rate=0.0)
+    slope("full_lm", lm, ids0, iters=30, apply_kw={"train": False})
+
+    # 2) embedding front (token embed + pos embed)
+    class Front(nn.Module):
+        @nn.compact
+        def __call__(self, ids, train=False):
+            from asr_dfcnn_transformer_tpu.models.layers import (
+                LearnedPositionEmbed, ScaledEmbed)
+            x = ScaledEmbed(vin, d, dtype=jnp.bfloat16)(ids)
+            return x + LearnedPositionEmbed(100, d, dtype=jnp.bfloat16)(
+                ids.shape[1])
+
+    slope("embed_front", Front(), ids0)
+
+    # 3) one parity attention block, causal mask (the LM's configuration)
+    valid = jnp.ones((batch, seq), jnp.bool_)
+    mask = attention_mask(valid, valid, causal=True)
+
+    class AttnBlock(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return MultiHeadAttention(d, heads, parity=True,
+                                      dtype=jnp.bfloat16)(
+                x, x, mask=mask, deterministic=True)
+
+    slope("attn_block_causal", AttnBlock(), x0)
+
+    # 3b) the same block without the mask (isolates the mask add)
+    class AttnBlockNoMask(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return MultiHeadAttention(d, heads, parity=True,
+                                      dtype=jnp.bfloat16)(
+                x, x, deterministic=True)
+
+    slope("attn_block_nomask", AttnBlockNoMask(), x0)
+
+    # 3c) matmuls only: QKVO projections + the two einsums, no softmax /
+    # mask / layernorm / residual — the MXU floor of one block
+    class AttnMatmuls(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            b, t, _ = x.shape
+            dh = d // heads
+            q = nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(x)
+            k = nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(x)
+            v = nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(x)
+            q = q.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
+            k = k.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
+            v = v.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+            o = jnp.einsum("bhqk,bhkd->bhqd", s.astype(jnp.bfloat16), v)
+            o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+            return nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(o)
+
+    slope("attn_matmuls_only", AttnMatmuls(), x0)
+
+    # 4) one FFN block (Dense 4d + ReLU + Dense d + residual + LN)
+    class FFN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return FeedForward(d, dtype=jnp.bfloat16)(x,
+                                                      deterministic=True)
+
+    slope("ffn_block", FFN(), x0)
+
+    # 4b) FFN matmuls only
+    class FFNMatmuls(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            y = nn.Dense(4 * d, dtype=jnp.bfloat16)(x)
+            return nn.Dense(d, dtype=jnp.bfloat16)(nn.relu(y))
+
+    slope("ffn_matmuls_only", FFNMatmuls(), x0)
+
+    # 5) the final f32 vocab projection
+    class VocabProj(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(vout, dtype=jnp.float32)(x)
+
+    slope("vocab_proj_f32", VocabProj(), x0)
+
+    n = blocks
+    block_sum = n * (out["attn_block_causal"] + out["ffn_block"])
+    out["stages_sum_estimate"] = round(
+        out["embed_front"] + block_sum + out["vocab_proj_f32"], 3)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--seq", type=int, default=64)
+    args = ap.parse_args()
+    import os
+    import subprocess
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("ASR_TPU_COMPILE_CACHE", str(
+                Path(__file__).resolve().parent.parent / ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if not args.cpu:
+        code = ("import jax, jax.numpy as jnp;"
+                "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=180,
+                               capture_output=True, text=True)
+            ok = "PROBE 16384.0" in (r.stdout or "")
+        except Exception:  # noqa: BLE001
+            ok = False
+        if not ok:
+            print(json.dumps({"error": "TPU tunnel unreachable"}))
+            sys.exit(1)
+    print(json.dumps({"device": jax.devices()[0].device_kind}))
+    print(json.dumps({"lm_fwd_stages": profile_stages(
+        batch=args.batch, seq=args.seq, smoke=args.smoke)}))
+
+
+if __name__ == "__main__":
+    main()
