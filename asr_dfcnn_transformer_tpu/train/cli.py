@@ -93,10 +93,13 @@ def _build_parser():
                                  "interchangeable)")
         if name == "am":
             sp.add_argument("--augment-noise", action="store_true")
+        if name in ("am", "e2e"):
             sp.add_argument("--augment-spec", action="store_true",
                             help="SpecAugment time/freq masking inside "
                                  "the jitted train step (beyond "
-                                 "reference; audio/specaugment.py)")
+                                 "reference; audio/specaugment.py — for "
+                                 "e2e it masks the fbank features before "
+                                 "LFR stacking)")
         if name in ("eval", "eval-e2e"):
             sp.add_argument("--decode", default="greedy",
                             choices=["greedy", "beam"])
@@ -419,7 +422,8 @@ def cmd_e2e(args):
     else:
         model = SpeechTransformer(ev.size)
     tr = E2ETrainer(model, args.workdir, lr=args.lr or 3e-4,
-                    feature_dim=80 if not args.small else 40)
+                    feature_dim=80 if not args.small else 40,
+                    augment_spec=getattr(args, "augment_spec", False))
     dev_dl = loader("dev", False)
     first = next(train_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(

@@ -116,7 +116,8 @@ def build_lm_trainer(cfg: Config, workdir: str, mesh=None):
                      max_to_keep=cfg.train.max_to_keep)
 
 
-def build_e2e_trainer(cfg: Config, workdir: str, mesh=None):
+def build_e2e_trainer(cfg: Config, workdir: str, mesh=None,
+                      augment_spec=None):
     from asr_dfcnn_transformer_tpu.train import E2ETrainer
     return E2ETrainer(build_e2e_model(cfg), workdir, lr=cfg.e2e.lr,
                       decay_steps=cfg.train.decay_steps,
@@ -124,6 +125,7 @@ def build_e2e_trainer(cfg: Config, workdir: str, mesh=None):
                       feature_dim=cfg.e2e.feature_dim,
                       lfr_m=cfg.e2e.lfr_m, lfr_n=cfg.e2e.lfr_n,
                       mesh=mesh or build_mesh(cfg),
+                      augment_spec=augment_spec,
                       max_to_keep=cfg.train.max_to_keep)
 
 

@@ -694,19 +694,27 @@ class E2ETrainer(_TrainerBase):
     def __init__(self, model, workdir: str, lr: float = 3e-4,
                  decay_steps: int = 5000, min_lr: float = 1e-6,
                  feature_dim: int = 80, lfr_m: int = 4, lfr_n: int = 3,
-                 mesh=None, max_to_keep: int = 5):
+                 mesh=None, augment_spec=None, max_to_keep: int = 5):
         super().__init__(workdir, "e2e", lr, decay_steps, min_lr, mesh,
                          max_to_keep)
         self.model = model
         self.fbank_cfg = FbankConfig(nfilt=feature_dim)
         self.lfr_m, self.lfr_n = lfr_m, lfr_n
+        # SpecAugment (beyond reference): masks the fbank features
+        # BEFORE LFR stacking, train step only. None = off.
+        if augment_spec is True:
+            augment_spec = SpecAugmentConfig()
+        self.augment_spec = augment_spec or None
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
-    def _features(self, signals, signal_lengths, bucket_frames):
+    def _features(self, signals, signal_lengths, bucket_frames,
+                  spec_key=None):
         feats, valid = batched_fbank(signals, signal_lengths,
                                      cfg=self.fbank_cfg,
                                      out_frames=bucket_frames)
+        if spec_key is not None and self.augment_spec is not None:
+            feats = spec_augment(spec_key, feats, valid, self.augment_spec)
         lfr, lfr_valid = batched_lfr(feats, valid, self.lfr_m, self.lfr_n)
         return lfr[..., None], lfr_valid
 
@@ -739,9 +747,13 @@ class E2ETrainer(_TrainerBase):
                            donate_argnums=(0,))
         def step(state: TrainState, signals, signal_lengths, dec_in,
                  targets, rng, bucket_frames):
+            skey = None
+            if self.augment_spec is not None:
+                rng, skey = jax.random.split(rng)
+
             def loss_fn(params):
                 feats, valid = self._features(signals, signal_lengths,
-                                              bucket_frames)
+                                              bucket_frames, spec_key=skey)
                 variables = {"params": params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats

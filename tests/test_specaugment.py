@@ -155,3 +155,23 @@ class TestTrainerWiring:
                         stage_pool=(True,), se_ratio=(1,), head_features=8)
         tr = AMTrainer(model, str(tmp_path / "off"), feature_dim=32)
         assert tr.augment_spec is None
+
+    def test_e2e_train_step_runs(self, tmp_path):
+        from asr_dfcnn_transformer_tpu.models import SpeechTransformer
+        from asr_dfcnn_transformer_tpu.train import E2ETrainer
+
+        model = SpeechTransformer(48, d_model=16, num_heads=2,
+                                  num_enc_blocks=1, num_dec_blocks=1,
+                                  prenet_channels=4, dropout_rate=0.0,
+                                  dtype=jnp.float32)
+        tr = E2ETrainer(model, str(tmp_path / "e2e"), feature_dim=32,
+                        augment_spec=True)
+        assert isinstance(tr.augment_spec, SpecAugmentConfig)
+        batch = _am_batch()
+        tr.restore_or_init(
+            lambda: tr.init_state(jax.random.PRNGKey(0), batch))
+        m = tr.train_step(batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+        # eval path must NOT mask (spec_key only threads through train)
+        ev = tr.eval_step(batch)
+        assert np.isfinite(float(ev["loss"]))

@@ -113,6 +113,55 @@ def profile_stages(batch=128, seq=64, smoke=False):
 
     slope("attn_matmuls_only", AttnMatmuls(), x0)
 
+    # 3d) transpose-free layout: einsum contracts directly from
+    # [B, T, H, Dh] (batch dims (b, h) with h non-leading) and the output
+    # collapses [B, Q, H, Dh] -> [B, Q, D] as a free contiguous reshape —
+    # no materialized head transposes
+    class AttnMatmulsNoTranspose(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            b, t, _ = x.shape
+            dh = d // heads
+            q = nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(x)
+            k = nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(x)
+            v = nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(x)
+            q = q.reshape(b, t, heads, dh)
+            k = k.reshape(b, t, heads, dh)
+            v = v.reshape(b, t, heads, dh)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+            o = jnp.einsum("bhqk,bkhd->bqhd", s.astype(jnp.bfloat16), v)
+            o = o.reshape(b, t, d)
+            return nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(o)
+
+    slope("attn_matmuls_notranspose", AttnMatmulsNoTranspose(), x0)
+
+    # 3e) the full block in the transpose-free layout (softmax + mask +
+    # residual + LN + parity ReLUs kept)
+    class AttnBlockNoTranspose(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            b, t, _ = x.shape
+            dh = d // heads
+            q = nn.relu(nn.Dense(d, use_bias=False,
+                                 dtype=jnp.bfloat16)(x))
+            k = nn.relu(nn.Dense(d, use_bias=False,
+                                 dtype=jnp.bfloat16)(x))
+            v = nn.relu(nn.Dense(d, use_bias=False,
+                                 dtype=jnp.bfloat16)(x))
+            q = q.reshape(b, t, heads, dh)
+            k = k.reshape(b, t, heads, dh)
+            v = v.reshape(b, t, heads, dh)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+            s = s / jnp.sqrt(jnp.asarray(dh, jnp.float32)) + mask
+            p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t, d)
+            o = nn.relu(nn.Dense(d, use_bias=False, dtype=jnp.bfloat16)(o))
+            return nn.LayerNorm(dtype=jnp.bfloat16)(o + x)
+
+    slope("attn_block_notranspose", AttnBlockNoTranspose(), x0)
+
     # 4) one FFN block (Dense 4d + ReLU + Dense d + residual + LN)
     class FFN(nn.Module):
         @nn.compact
