@@ -43,6 +43,7 @@ class CTCAttention(nn.Module):
     dropout_rate: float = 0.1
     parity_attention: bool = True
     parity_lengths: bool = False  # reference's ceil(T/4), data_loader2.py:136
+    fused_attention: str = "auto"  # see MultiHeadAttention.fused
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -64,6 +65,7 @@ class CTCAttention(nn.Module):
             x = MultiHeadAttention(self.d_model, self.num_heads,
                                    self.dropout_rate,
                                    parity=self.parity_attention,
+                                   fused=self.fused_attention,
                                    dtype=self.dtype,
                                    name=f"block_{i}_attn")(x, x,
                                                            deterministic=det)

@@ -262,7 +262,17 @@ class MultiHeadAttention(nn.Module):
         return self.norm(out)
 
     def __call__(self, queries, keys, values=None, *, mask=None,
+                 k_valid=None, causal: bool = False,
                  deterministic: bool = True):
+        """``mask``: a dense additive [B, 1, Tq, Tk] tensor (arbitrary
+        structure, einsum path only). ``k_valid`` [B, Tk] bool + ``causal``
+        are the STRUCTURED equivalent of ``attention_mask(q_valid,
+        k_valid, causal)`` — semantically identical, but the structure
+        lets the masked flash kernel apply the mask in VMEM instead of
+        materializing it. Pass one or the other, not both."""
+        if mask is not None and (k_valid is not None or causal):
+            raise ValueError("pass either a dense mask or structured "
+                             "k_valid/causal, not both")
         if values is None:
             values = keys
         b, tq, _ = queries.shape
@@ -272,15 +282,18 @@ class MultiHeadAttention(nn.Module):
         if self.fused not in ("auto", "pallas", "einsum"):
             raise ValueError(f"unknown attention backend {self.fused!r}")
         from asr_dfcnn_transformer_tpu.ops.pallas.attn_kernel import (
-            dual_axis_attention, fused_wins)
+            dual_axis_attention, flash_wins, fused_wins, masked_flash_attention)
+        dropout_on = not deterministic and self.dropout_rate > 0.0
+        kernel_ok = (
+            self.fused != "einsum" and mask is None
+            and not self.is_mutable_collection("intermediates"))
         use_fused = (
-            self.fused != "einsum" and h == 1 and mask is None
+            kernel_ok and not dropout_on
+            and h == 1 and k_valid is None and not causal
             # self-attention only: the kernel derives its packing geometry
             # and slot mask from ONE length, so tq != tk (cross-attention)
             # would let zero-padded phantom keys receive softmax weight
             and tq == tk
-            and (deterministic or self.dropout_rate == 0.0)
-            and not self.is_mutable_collection("intermediates")
             and (self.fused == "pallas"
                  or (jax.default_backend() == "tpu"
                      and fused_wins(b, tk))))
@@ -289,6 +302,36 @@ class MultiHeadAttention(nn.Module):
             k, v = self._act(self.k_proj(keys)), self._act(self.v_proj(values))
             out = dual_axis_attention(q, k, v)
             return self._finish(out, queries)
+        use_flash = (
+            kernel_ok and dh <= 128
+            and (self.fused == "pallas"
+                 or (jax.default_backend() == "tpu"
+                     and flash_wins(b * h, tq, tk))))
+        if use_flash:
+            q = self.project_q(queries).reshape(b, tq, h, dh)\
+                .transpose(0, 2, 1, 3)
+            k = self._act(self.k_proj(keys)).reshape(b, tk, h, dh)\
+                .transpose(0, 2, 1, 3)
+            v = self._act(self.v_proj(values)).reshape(b, tk, h, dh)\
+                .transpose(0, 2, 1, 3)
+            dmask, keep = None, 1.0
+            if dropout_on:
+                # attention-probability dropout with flax semantics; a
+                # different draw than the einsum path's Dropout submodule
+                # (its rng folds in the submodule path), equally valid
+                keep = 1.0 - self.dropout_rate
+                dmask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (b, h, tq, tk))
+            out = masked_flash_attention(q, k, v, k_valid, causal=causal,
+                                         dropout_mask=dmask,
+                                         keep_prob=keep)
+            out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
+            return self._finish(out, queries)
+        if k_valid is not None or causal:
+            kv = (jnp.ones((b, tk), jnp.bool_) if k_valid is None
+                  else k_valid)
+            mask = attention_mask(jnp.ones((b, tq), jnp.bool_), kv,
+                                  causal=causal)
 
         q = self.project_q(queries).reshape(b, tq, h, dh).transpose(0, 2, 1, 3)
         k = self._act(self.k_proj(keys)).reshape(b, tk, h, dh)\

@@ -39,7 +39,6 @@ from asr_dfcnn_transformer_tpu.models.layers import (
     LearnedPositionEmbed,
     MultiHeadAttention,
     ScaledEmbed,
-    attention_mask,
     label_smoothing,
 )
 
@@ -197,6 +196,7 @@ class SpeechTransformer(nn.Module):
     prenet_heads: int = 1        # reshape-only; see DualAxisAttentionBlock
     prenet_fused: str = "auto"   # see MultiHeadAttention.fused
     prenet_conv1_layout: str = "auto"  # see Stride2Conv.layout
+    fused_attention: str = "auto"  # enc/dec blocks; see MultiHeadAttention.fused
     dropout_rate: float = 0.1
     position_max_length: int = 512
     parity_decoder: bool = False  # True = reference's cross-attention-only decoder
@@ -215,7 +215,8 @@ class SpeechTransformer(nn.Module):
         self.enc_dropout = nn.Dropout(self.dropout_rate)
         self.enc_attn = [
             MultiHeadAttention(self.d_model, self.num_heads,
-                               self.dropout_rate, dtype=self.dtype)
+                               self.dropout_rate,
+                               fused=self.fused_attention, dtype=self.dtype)
             for _ in range(self.num_enc_blocks)]
         self.enc_ffn = [
             FeedForward(self.d_model, dropout_rate=self.dropout_rate,
@@ -229,11 +230,14 @@ class SpeechTransformer(nn.Module):
         if not self.parity_decoder:
             self.dec_self = [
                 MultiHeadAttention(self.d_model, self.num_heads,
-                                   self.dropout_rate, dtype=self.dtype)
+                                   self.dropout_rate,
+                                   fused=self.fused_attention,
+                                   dtype=self.dtype)
                 for _ in range(self.num_dec_blocks)]
         self.dec_cross = [
             MultiHeadAttention(self.d_model, self.num_heads,
-                               self.dropout_rate, dtype=self.dtype)
+                               self.dropout_rate,
+                               fused=self.fused_attention, dtype=self.dtype)
             for _ in range(self.num_dec_blocks)]
         self.dec_ffn = [
             FeedForward(self.d_model, dropout_rate=self.dropout_rate,
@@ -259,9 +263,8 @@ class SpeechTransformer(nn.Module):
         x = self.enc_dropout(x, deterministic=det)
         mem_valid = jnp.arange(t)[None, :] < jnp.maximum(
             feat_valid[:, None] // 4, 1)  # stride-2 twice = 4x downsample
-        mask = attention_mask(mem_valid, mem_valid)
         for attn, ffn in zip(self.enc_attn, self.enc_ffn):
-            x = attn(x, x, mask=mask, deterministic=det)
+            x = attn(x, x, k_valid=mem_valid, deterministic=det)
             x = ffn(x, deterministic=det)
         return x, mem_valid
 
@@ -277,13 +280,12 @@ class SpeechTransformer(nn.Module):
         dec_valid = jnp.asarray(dec_inputs) != constants.PAD
         dec_valid = jnp.logical_or(
             dec_valid, jnp.arange(l)[None, :] == 0)
-        self_mask = attention_mask(dec_valid, dec_valid, causal=True)
-        cross_mask = attention_mask(dec_valid, mem_valid,
-                                    causal=self.parity_decoder)
         for i in range(self.num_dec_blocks):
             if not self.parity_decoder:
-                y = self.dec_self[i](y, y, mask=self_mask, deterministic=det)
-            y = self.dec_cross[i](y, memory, mask=cross_mask,
+                y = self.dec_self[i](y, y, k_valid=dec_valid, causal=True,
+                                     deterministic=det)
+            y = self.dec_cross[i](y, memory, k_valid=mem_valid,
+                                  causal=self.parity_decoder,
                                   deterministic=det)
             y = self.dec_ffn[i](y, deterministic=det)
         return self.dec_output(y)

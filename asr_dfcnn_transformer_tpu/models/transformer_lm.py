@@ -33,7 +33,6 @@ from asr_dfcnn_transformer_tpu.models.layers import (
     LearnedPositionEmbed,
     MultiHeadAttention,
     ScaledEmbed,
-    attention_mask,
     bf16_dot_general,
     label_smoothing,
 )
@@ -55,6 +54,7 @@ class TransformerLM(nn.Module):
     # "output" Dense parameters — checkpoints interchangeable). See
     # layers.bf16_dot_general.
     logits_matmul: str = "f32"
+    fused_attention: str = "auto"  # see MultiHeadAttention.fused
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -70,14 +70,15 @@ class TransformerLM(nn.Module):
                                      name="pos_embed")(ids.shape[1])
         x = nn.Dropout(self.dropout_rate)(x, deterministic=det)
 
-        mask = attention_mask(valid, valid, causal=self.causal)
         n_stacks = 2 if self.two_stack else 1
         for s in range(n_stacks):
             for i in range(self.num_blocks):
                 x = MultiHeadAttention(
                     self.d_model, self.num_heads, self.dropout_rate,
-                    parity=self.parity_attention, dtype=self.dtype,
-                    name=f"block{s}_{i}_attn")(x, x, mask=mask,
+                    parity=self.parity_attention,
+                    fused=self.fused_attention, dtype=self.dtype,
+                    name=f"block{s}_{i}_attn")(x, x, k_valid=valid,
+                                               causal=self.causal,
                                                deterministic=det)
                 x = FeedForward(self.d_model, dtype=self.dtype,
                                 name=f"block{s}_{i}_ffn")(x, deterministic=det)

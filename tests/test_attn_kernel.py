@@ -132,6 +132,269 @@ def test_prenet_block_fused_equals_einsum():
                                atol=5e-2, rtol=5e-2)
 
 
+# ---------------------------------------------------------------------------
+# masked_flash_attention (multi-head, causal + key-validity masks)
+# ---------------------------------------------------------------------------
+
+from asr_dfcnn_transformer_tpu.models.layers import attention_mask  # noqa: E402
+from asr_dfcnn_transformer_tpu.ops.pallas.attn_kernel import (  # noqa: E402
+    masked_flash_attention,
+)
+
+
+def _ref_masked(q, k, v, k_valid, causal):
+    b, h, tq, dh = q.shape
+    tk = k.shape[2]
+    kv = jnp.ones((b, tk), jnp.bool_) if k_valid is None else k_valid
+    mask = attention_mask(jnp.ones((b, tq), jnp.bool_), kv, causal=causal)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s / jnp.sqrt(jnp.asarray(dh, jnp.float32)) + mask
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _rand_bhtd(key, b, h, tq, tk, dh, dtype=jnp.bfloat16):
+    ks = jax.random.split(key, 3)
+    return (jax.random.normal(ks[0], (b, h, tq, dh), dtype),
+            jax.random.normal(ks[1], (b, h, tk, dh), dtype),
+            jax.random.normal(ks[2], (b, h, tk, dh), dtype))
+
+
+@pytest.mark.parametrize("b,h,tq,tk,dh,causal,ragged", [
+    (4, 8, 64, 64, 64, True, True),      # LM shape class: Tp=64, P=2 packing
+    (2, 8, 100, 100, 64, True, False),   # LM position cap: P=1
+    (3, 4, 24, 130, 64, False, True),    # rectangular cross-attention
+    (3, 4, 24, 130, 64, True, True),     # parity_decoder causal cross-attn
+    (2, 2, 7, 7, 32, True, True),        # tiny everything (padding paths)
+    (1, 8, 200, 200, 64, False, True),   # ctc_attention class, unmasked keys
+])
+def test_masked_flash_forward_matches_einsum(b, h, tq, tk, dh, causal,
+                                             ragged):
+    q, k, v = _rand_bhtd(jax.random.PRNGKey(0), b, h, tq, tk, dh)
+    k_valid = None
+    if ragged:
+        # non-contiguous validity on purpose: the mask contract is an
+        # arbitrary boolean vector, not a prefix length
+        k_valid = jax.random.uniform(jax.random.PRNGKey(1), (b, tk)) > 0.3
+        k_valid = k_valid.at[:, 0].set(True)
+    got = masked_flash_attention(q, k, v, k_valid, causal=causal)
+    want = _ref_masked(q, k, v, k_valid, causal)
+    assert got.shape == (b, h, tq, dh) and got.dtype == q.dtype
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_masked_flash_fully_invalid_row_matches_einsum():
+    """A batch row whose keys are ALL invalid must reproduce the einsum
+    path's uniform-softmax-over--1e9 behavior (finite, no NaN)."""
+    b, h, t, dh = 2, 2, 16, 32
+    q, k, v = _rand_bhtd(jax.random.PRNGKey(2), b, h, t, t, dh)
+    k_valid = jnp.zeros((b, t), jnp.bool_).at[1].set(True)
+    got = masked_flash_attention(q, k, v, k_valid)
+    want = _ref_masked(q, k, v, k_valid, False)
+    assert bool(jnp.all(jnp.isfinite(got.astype(jnp.float32))))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("b,h,tq,tk,dh,causal", [
+    (2, 4, 20, 20, 32, True),    # packed, causal
+    (2, 2, 40, 130, 64, False),  # rectangular
+])
+def test_masked_flash_backward_matches_einsum(b, h, tq, tk, dh, causal):
+    q, k, v = _rand_bhtd(jax.random.PRNGKey(3), b, h, tq, tk, dh)
+    k_valid = (jnp.arange(tk)[None, :]
+               < jnp.linspace(tk // 2, tk, b).astype(jnp.int32)[:, None])
+    cot = jax.random.normal(jax.random.PRNGKey(4), (b, h, tq, dh),
+                            jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = masked_flash_attention(q, k, v, k_valid, causal=causal)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            _ref_masked(q, k, v, k_valid, causal).astype(jnp.float32) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        gf, gr = np.asarray(gf, np.float32), np.asarray(gr, np.float32)
+        scale = max(np.abs(gr).max(), 1e-3)
+        np.testing.assert_allclose(gf / scale, gr / scale, atol=4e-2,
+                                   err_msg=f"d{name}")
+
+
+def _ref_masked_dropout(q, k, v, k_valid, causal, dmask, keep_prob):
+    """Einsum reference applying the SAME keep-mask with flax Dropout
+    semantics (select(keep, p/keep_prob, 0) on the dtype-cast probs)."""
+    b, h, tq, dh = q.shape
+    tk = k.shape[2]
+    kv = jnp.ones((b, tk), jnp.bool_) if k_valid is None else k_valid
+    mask = attention_mask(jnp.ones((b, tq), jnp.bool_), kv, causal=causal)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s / jnp.sqrt(jnp.asarray(dh, jnp.float32)) + mask
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    p = jnp.where(dmask, p / jnp.asarray(keep_prob, p.dtype),
+                  jnp.zeros((), p.dtype))
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("tq,tk,causal", [
+    (20, 20, True),    # packed (P > 1)
+    (40, 130, False),  # rectangular, unpacked
+])
+def test_masked_flash_dropout_matches_same_mask_reference(tq, tk, causal):
+    b, h, dh, keep_prob = 2, 4, 32, 0.6
+    q, k, v = _rand_bhtd(jax.random.PRNGKey(20), b, h, tq, tk, dh)
+    k_valid = (jnp.arange(tk)[None, :]
+               < jnp.array([tk - 3, tk])[:, None])
+    dmask = jax.random.bernoulli(jax.random.PRNGKey(21), keep_prob,
+                                 (b, h, tq, tk))
+    got = masked_flash_attention(q, k, v, k_valid, causal=causal,
+                                 dropout_mask=dmask, keep_prob=keep_prob)
+    want = _ref_masked_dropout(q, k, v, k_valid, causal, dmask, keep_prob)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
+    # gradient: the bwd kernel must re-apply the identical mask
+    cot = jax.random.normal(jax.random.PRNGKey(22), (b, h, tq, dh),
+                            jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = masked_flash_attention(q, k, v, k_valid, causal=causal,
+                                     dropout_mask=dmask,
+                                     keep_prob=keep_prob)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_masked_dropout(
+            q, k, v, k_valid, causal, dmask, keep_prob
+        ).astype(jnp.float32) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        gf, gr = np.asarray(gf, np.float32), np.asarray(gr, np.float32)
+        scale = max(np.abs(gr).max(), 1e-3)
+        np.testing.assert_allclose(gf / scale, gr / scale, atol=4e-2,
+                                   err_msg=f"d{name}")
+
+
+def test_masked_flash_all_keep_equals_deterministic():
+    b, h, t, dh = 2, 2, 24, 32
+    q, k, v = _rand_bhtd(jax.random.PRNGKey(23), b, h, t, t, dh)
+    ones = jnp.ones((b, h, t, t), jnp.bool_)
+    np.testing.assert_array_equal(
+        np.asarray(masked_flash_attention(q, k, v, dropout_mask=ones,
+                                          keep_prob=1.0), np.float32),
+        np.asarray(masked_flash_attention(q, k, v), np.float32))
+
+
+def test_mha_flash_training_dropout():
+    """fused="pallas" + deterministic=False + dropout_rate > 0 must run
+    the flash path with a real dropout draw: finite, differs from the
+    deterministic output, and grads flow."""
+    b, t, d, h = 2, 16, 64, 4
+    x = jax.random.normal(jax.random.PRNGKey(24), (b, t, d), jnp.bfloat16)
+    mha = MultiHeadAttention(d, h, dropout_rate=0.5, fused="pallas")
+    params = mha.init(jax.random.PRNGKey(25), x, x)
+    det = mha.apply(params, x, x, causal=True)
+    tr = mha.apply(params, x, x, causal=True, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(26)})
+    assert bool(jnp.all(jnp.isfinite(tr.astype(jnp.float32))))
+    assert not np.array_equal(np.asarray(tr), np.asarray(det))
+
+    def loss(p):
+        out = mha.apply(p, x, x, causal=True, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(26)})
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(le))) for le in leaves)
+    assert any(float(jnp.abs(le).max()) > 0 for le in leaves)
+
+
+def test_mha_structured_mask_matches_dense_mask():
+    """k_valid/causal kwargs == the dense attention_mask on the einsum
+    path (exact array equality: same mask values, same program)."""
+    b, t, d, h = 3, 18, 64, 4
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, t, d), jnp.bfloat16)
+    k_valid = jnp.arange(t)[None, :] < jnp.array([18, 9, 1])[:, None]
+    mha = MultiHeadAttention(d, h, fused="einsum")
+    params = mha.init(jax.random.PRNGKey(6), x, x)
+    dense = attention_mask(jnp.ones((b, t), jnp.bool_), k_valid, causal=True)
+    np.testing.assert_array_equal(
+        np.asarray(mha.apply(params, x, x, k_valid=k_valid, causal=True),
+                   np.float32),
+        np.asarray(mha.apply(params, x, x, mask=dense), np.float32))
+
+
+def test_mha_flash_equals_einsum_structured():
+    b, t, d, h = 3, 30, 64, 4
+    x = jax.random.normal(jax.random.PRNGKey(7), (b, t, d), jnp.bfloat16)
+    k_valid = jnp.arange(t)[None, :] < jnp.array([30, 17, 5])[:, None]
+    mha_p = MultiHeadAttention(d, h, fused="pallas")
+    mha_e = MultiHeadAttention(d, h, fused="einsum")
+    params = mha_p.init(jax.random.PRNGKey(8), x, x)
+    out_p = mha_p.apply(params, x, x, k_valid=k_valid, causal=True)
+    out_e = mha_e.apply(params, x, x, k_valid=k_valid, causal=True)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_e, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_mha_rejects_mask_plus_structured():
+    x = jnp.zeros((2, 8, 64), jnp.bfloat16)
+    mha = MultiHeadAttention(64, 2)
+    mask = jnp.zeros((2, 1, 8, 8), jnp.float32)
+    params = mha.init(jax.random.PRNGKey(0), x, x)
+    with pytest.raises(ValueError, match="not both"):
+        mha.apply(params, x, x, mask=mask, causal=True)
+
+
+def test_transformer_lm_flash_equals_einsum():
+    """Whole-model check: the LM forward (causal + PAD-key masking) agrees
+    across backends on shared params, including PAD-heavy rows."""
+    from asr_dfcnn_transformer_tpu.models.transformer_lm import TransformerLM
+    ids = jnp.array([[3, 5, 9, 2, 0, 0, 0, 0],
+                     [7, 7, 7, 7, 7, 7, 7, 6]], jnp.int32)
+    kwargs = dict(d_model=64, num_heads=4, num_blocks=2, dropout_rate=0.0)
+    lm_p = TransformerLM(32, 48, fused_attention="pallas", **kwargs)
+    lm_e = TransformerLM(32, 48, fused_attention="einsum", **kwargs)
+    params = lm_p.init(jax.random.PRNGKey(9), ids)
+    out_p = lm_p.apply(params, ids)
+    out_e = lm_e.apply(params, ids)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_e),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_speech_transformer_flash_equals_einsum():
+    """Encoder + decoder (self/cross masks) agree across backends."""
+    from asr_dfcnn_transformer_tpu.models.speech_transformer import (
+        SpeechTransformer)
+    b, t, f = 2, 32, 20
+    feats = jax.random.normal(jax.random.PRNGKey(10), (b, t, f, 1),
+                              jnp.bfloat16)
+    feat_valid = jnp.array([32, 17], jnp.int32)
+    dec = jnp.array([[2, 5, 7, 0], [2, 9, 0, 0]], jnp.int32)
+    kwargs = dict(d_model=32, num_heads=2, num_enc_blocks=1,
+                  num_dec_blocks=1, prenet_channels=8, dropout_rate=0.0,
+                  dtype=jnp.bfloat16)
+    m_p = SpeechTransformer(16, fused_attention="pallas", **kwargs)
+    m_e = SpeechTransformer(16, fused_attention="einsum", **kwargs)
+    params = m_p.init(jax.random.PRNGKey(11), feats, feat_valid, dec)
+    out_p = m_p.apply(params, feats, feat_valid, dec)
+    out_e = m_e.apply(params, feats, feat_valid, dec)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_e),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_mha_cross_attention_never_fused():
     """tq != tk must take the einsum path even under fused="pallas": the
     kernel derives its packing geometry and slot mask from ONE length, so

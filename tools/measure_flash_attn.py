@@ -1,0 +1,180 @@
+"""Measure masked_flash_attention vs the einsum path on the TPU.
+
+MODEL-LEVEL A/B comparisons (slope-timed, bench._scan_time): the round-4
+first cut of this tool compared standalone attention blocks with a
+closure-constant ``k_valid`` — XLA constant-folded the einsum path's mask
+to nothing, making those numbers unusable. Every comparison here runs a
+REAL model forward (or forward+param-grad) with data-dependent lengths,
+the same program shape the trainers and pipeline execute:
+
+- full TransformerLM inference forward (the lm_only bench config)
+- CTCAttention model forward (b32, 200 LFR frames)
+- SpeechTransformer teacher-forced forward at b8 (reference cadence) and
+  b64 (saturating), plus forward+param-grad at b64 with train=True
+  (dropout active — the kernel's dropout-mask input vs flax Dropout)
+
+Record results in DESIGN.md §9 and encode the crossover in
+``ops/pallas/attn_kernel.py:flash_wins``.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def measure(smoke=False, only=None):
+    import jax
+    import jax.numpy as jnp
+
+    from asr_dfcnn_transformer_tpu.models.ctc_attention import CTCAttention
+    from asr_dfcnn_transformer_tpu.models.speech_transformer import (
+        SpeechTransformer)
+    from asr_dfcnn_transformer_tpu.models.transformer_lm import TransformerLM
+
+    out = {}
+    key = jax.random.PRNGKey(0)
+
+    def record(label, dt):
+        out[label] = round(1e3 * dt, 4)
+        print(json.dumps({label: out[label]}), flush=True)
+
+    def want(label):
+        return not only or only in label
+
+    # ---- full LM forward (the lm_only bench config) ----
+    if want("full_lm"):
+        b, t = (2, 8) if smoke else (128, 64)
+        ids = jax.random.randint(key, (b, t), 3, 40 if smoke else 1535,
+                                 jnp.int32)
+        # PAD tails make the mask data-dependent, like the pipeline feed
+        ids = jnp.where(jnp.arange(t)[None, :]
+                        < (t - jnp.arange(b)[:, None] % 4), ids, 0)
+        for backend in ("einsum", "pallas"):
+            lm = (TransformerLM(48, 64, d_model=16, num_heads=2,
+                                num_blocks=2, dropout_rate=0.0,
+                                fused_attention=backend) if smoke else
+                  TransformerLM(1536, 6345, dropout_rate=0.0,
+                                fused_attention=backend))
+            params = lm.init(jax.random.PRNGKey(2), ids)
+
+            def fwd(ids, i):
+                return lm.apply(params, ids, train=False)
+
+            dt, _ = bench._scan_time(fwd, ids, iters=4 if smoke else 30)
+            record(f"full_lm_{backend}", dt)
+    if smoke:
+        return out
+
+    # ---- CTCAttention forward (b32, 200 LFR frames x 320 feats) ----
+    if want("atten"):
+        x = jnp.asarray(0.1 * jax.random.normal(key, (32, 200, 320, 1)),
+                        jnp.bfloat16)
+        vf = jnp.clip((jnp.abs(x[:, 0, 0, 0]) * 1e4).astype(jnp.int32)
+                      % 1600 + 1, 160, 1600)
+        for backend in ("einsum", "pallas"):
+            m = CTCAttention(1536, dropout_rate=0.0,
+                             fused_attention=backend)
+            params = m.init(jax.random.PRNGKey(3), x)
+
+            def fwd(x, i):
+                return m.apply(params, x, vf, train=False)
+
+            dt, _ = bench._scan_time(fwd, x, iters=20)
+            record(f"atten_fwd_b32_{backend}", dt)
+
+    # ---- SpeechTransformer ----
+    def e2e_inputs(b):
+        feats = jnp.asarray(
+            0.1 * jax.random.normal(key, (b, 400, 320, 1)), jnp.bfloat16)
+        # data-dependent valid lengths (prevents mask constant-folding)
+        fv = jnp.clip((jnp.abs(feats[:, 0, 0, 0]) * 1e4).astype(jnp.int32)
+                      % 1600 + 1, 160, 1600)
+        dec = jax.random.randint(jax.random.PRNGKey(4), (b, 64), 3, 6000,
+                                 jnp.int32)
+        dec = jnp.where(jnp.arange(64)[None, :]
+                        < (64 - jnp.arange(b)[:, None] % 7), dec, 0)
+        return feats, fv, dec
+
+    for b, iters in ((8, 20), (64, 8)):
+        if not want(f"e2e_fwd_b{b}"):
+            continue
+        feats, fv, dec = e2e_inputs(b)
+        for backend in ("einsum", "pallas"):
+            m = SpeechTransformer(6347, dropout_rate=0.0,
+                                  fused_attention=backend)
+            params = m.init(jax.random.PRNGKey(5), feats[:1], fv[:1],
+                            dec[:1])
+
+            def fwd(feats, i):
+                return m.apply(params, feats, fv, dec, train=False)
+
+            dt, _ = bench._scan_time(fwd, feats, iters=iters)
+            record(f"e2e_fwd_b{b}_{backend}", dt)
+
+    # forward + parameter gradients, train=True (attention dropout active:
+    # flax Dropout on the einsum path vs the kernel's dropout-mask input)
+    if want("e2e_grad_b64"):
+        feats, fv, dec = e2e_inputs(64)
+        for backend in ("einsum", "pallas"):
+            m = SpeechTransformer(6347, dropout_rate=0.1,
+                                  fused_attention=backend)
+            params = m.init(jax.random.PRNGKey(5), feats[:1], fv[:1],
+                            dec[:1])
+
+            def fwd(feats, i):
+                def loss(p):
+                    lg = m.apply(p, feats, fv, dec, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(6)})
+                    return jnp.sum(lg.astype(jnp.float32) ** 2) * 1e-9
+                return jax.grad(loss)(params)
+
+            dt, _ = bench._scan_time(fwd, feats, iters=6)
+            record(f"e2e_grad_b64_{backend}", dt)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on config labels")
+    args = ap.parse_args()
+    import os
+    import subprocess
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("ASR_TPU_COMPILE_CACHE", str(
+                Path(__file__).resolve().parent.parent / ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if not args.cpu:
+        code = ("import jax, jax.numpy as jnp;"
+                "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=180,
+                               capture_output=True, text=True)
+            ok = "PROBE 16384.0" in (r.stdout or "")
+        except Exception:  # noqa: BLE001
+            ok = False
+        if not ok:
+            print(json.dumps({"error": "TPU tunnel unreachable"}))
+            sys.exit(1)
+    print(json.dumps({"device": jax.devices()[0].device_kind}), flush=True)
+    print(json.dumps({"flash_attn": measure(smoke=args.smoke,
+                                            only=args.only)}))
+
+
+if __name__ == "__main__":
+    main()
