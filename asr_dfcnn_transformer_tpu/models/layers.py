@@ -305,7 +305,10 @@ class MultiHeadAttention(nn.Module):
         use_flash = (
             kernel_ok and dh <= 128
             and (self.fused == "pallas"
-                 or (jax.default_backend() == "tpu"
+                 # auto never picks the kernel when attention dropout is
+                 # live: measured LM/e2e training losses (flash_wins doc)
+                 or (not dropout_on
+                     and jax.default_backend() == "tpu"
                      and flash_wins(b * h, tq, tk))))
         if use_flash:
             q = self.project_q(queries).reshape(b, tq, h, dh)\

@@ -241,16 +241,32 @@ def _pick_g(sq: int, sk: int, dh: int, bwd: bool,
 
 
 def flash_wins(r: int, tq: int, tk: int) -> bool:
-    """Measured v5e crossover for the masked kernel under
-    ``MultiHeadAttention.fused="auto"`` (bf16, dh=64, slope-timed round
-    4). Same shape of result as ``fused_wins``: packed short rows
-    (P >= 2, e.g. the LM's T=64) win below a row-count ceiling — the
-    block-diagonal packing computes P^2/P x the useful flops, which XLA's
-    batched einsum eventually out-runs at the HBM roof — while unpacked
-    rows (P=1) win everywhere measured."""
+    """Measured v5e policy for the masked kernel under
+    ``MultiHeadAttention.fused="auto"`` (bf16, dh=64, round 4;
+    tools/measure_flash_attn.py MODEL-level A/B — block-level numbers
+    were unusable, a closure-constant k_valid let XLA fold the einsum
+    mask away). On this toolchain XLA's einsum attention is already near
+    its wall at every shape this framework runs, so the kernel
+    auto-engages only on the two classes where a model-level win was
+    measured, and `MultiHeadAttention` never auto-picks it when attention
+    dropout is live (LM fwd+grad 14.55 vs 10.81 ms einsum, e2e 104.8 vs
+    99.5 — the pack relayouts + recompute backward lose in training):
+
+    - self-attention, P=1, 128 < Tp <= 256 (the ctc_attention class,
+      r=256 t=200: 3.298 vs 3.452 ms model forward, +4.5%)
+    - self-attention, packed T<=64 at r >= 1024 (the LM inference class,
+      b128: full model 7.22 vs 7.32 / 7.30 vs 7.56 across two runs)
+
+    Measured-rejected for auto (kernel still available via
+    fused="pallas"): e2e encoder T=400 (b64 model fwd 30.75 vs 30.82 —
+    wash; b8 3.34 vs 3.12 — loses), rectangular cross-attention, and
+    every training path."""
     tqp, tkp, p, _, _ = _mask_pack_geometry(tq, tk)
-    del tqp, tkp
-    return p == 1 or r <= 2048
+    if tq != tk:
+        return False
+    if p == 1:
+        return 128 < tqp <= 256
+    return tqp <= 64 and r >= 1024
 
 
 def _sem_geo_masks(sq, sk, tqp, tkp, tq, tk, causal):
@@ -286,10 +302,9 @@ def _mflash_fwd_kernel(*refs, tq, tk, tqp, tkp, scale, causal, keep_prob):
         probs = jax.nn.softmax(scores, axis=-1).astype(q_ref.dtype)
         if keep_prob is not None:
             # flax Dropout semantics on the dtype-cast probabilities:
-            # select(keep, p / keep_prob, 0)
-            probs = jnp.where(d_ref[g] > 0.5,
-                              probs / jnp.asarray(keep_prob, probs.dtype),
-                              jnp.zeros_like(probs))
+            # select(keep, p/kp, 0) == (p/kp) * mask for a 0/1 mask —
+            # multiplication because Mosaic cannot compare bf16 vectors
+            probs = (probs / jnp.asarray(keep_prob, probs.dtype)) * d_ref[g]
         o_ref[g] = jnp.dot(probs, v_ref[g],
                            preferred_element_type=jnp.float32
                            ).astype(o_ref.dtype)
@@ -318,14 +333,12 @@ def _mflash_bwd_kernel(*refs, tq, tk, tqp, tkp, scale, causal, keep_prob):
             do_ref[g], v_ref[g], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if keep_prob is not None:
-            keep = d_ref[g] > 0.5
             # dropped probabilities feed the PV dot (and hence dV); the
-            # gradient w.r.t. the pre-dropout probs is keep / keep_prob
-            dropped = jnp.where(keep,
-                                probs.astype(q_ref.dtype)
-                                / jnp.asarray(keep_prob, q_ref.dtype),
-                                jnp.zeros((), q_ref.dtype))
-            dp = jnp.where(keep, dp / keep_prob, 0.0)
+            # gradient w.r.t. the pre-dropout probs is mask / keep_prob
+            # (0/1 mask applied by multiplication — see forward kernel)
+            dropped = (probs.astype(q_ref.dtype)
+                       / jnp.asarray(keep_prob, q_ref.dtype)) * d_ref[g]
+            dp = dp * (d_ref[g].astype(jnp.float32) / keep_prob)
         else:
             dropped = probs.astype(q_ref.dtype)
         dsum = jnp.sum(dp * probs, axis=-1, keepdims=True)
@@ -511,12 +524,13 @@ def _pack_diag(m, tqp: int, tkp: int, p: int, rpad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "keep_prob",
-                                              "interpret"))
+                                              "pack", "interpret"))
 def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            k_valid: jnp.ndarray | None = None, *,
                            causal: bool = False,
                            dropout_mask: jnp.ndarray | None = None,
                            keep_prob: float = 1.0,
+                           pack: bool = True,
                            interpret: bool | None = None) -> jnp.ndarray:
     """Multi-head attention with key-validity + causal masking, fused.
 
@@ -542,6 +556,10 @@ def masked_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     r = b * h
     dropout = dropout_mask is not None and keep_prob < 1.0
     tqp, tkp, p, sq, sk = _mask_pack_geometry(tq, tk)
+    if not pack:
+        # tuning override: skip slot packing (the [R, T, Dh] ->
+        # [R/P, P*T, Dh] row-pairing relayout has real HBM cost)
+        p, sq, sk = 1, tqp, tkp
     rpad = _round_up(max((r + p - 1) // p, 1),
                      _pick_g(sq, sk, dh, bwd=False, dropout=dropout))
     qp = _pack(q.reshape(r, tq, dh), tqp, p, rpad)

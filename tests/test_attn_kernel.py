@@ -186,6 +186,38 @@ def test_masked_flash_forward_matches_einsum(b, h, tq, tk, dh, causal,
                                atol=2e-2, rtol=2e-2)
 
 
+def test_flash_wins_policy():
+    from asr_dfcnn_transformer_tpu.ops.pallas.attn_kernel import flash_wins
+    # atten class (t=200, P=1): win
+    assert flash_wins(256, 200, 200)
+    # LM inference class (t=64 packed, r=b128*h8): win
+    assert flash_wins(1024, 64, 64)
+    # e2e decoder self (t=64, r=512): below the LM row floor
+    assert not flash_wins(512, 64, 64)
+    # e2e encoder (t=400): measured wash/loss
+    assert not flash_wins(512, 400, 400)
+    # rectangular cross-attention: never auto
+    assert not flash_wins(512, 64, 400)
+    # LM position cap (t=100 -> Tp=112): outside the P=1 win band
+    assert not flash_wins(1024, 100, 100)
+
+
+def test_masked_flash_pack_override_matches():
+    """pack=False (the P=1 tuning override) must agree with the packed
+    default and the einsum reference on a P>1 shape."""
+    b, h, t, dh = 3, 4, 20, 32
+    q, k, v = _rand_bhtd(jax.random.PRNGKey(30), b, h, t, t, dh)
+    k_valid = jnp.arange(t)[None, :] < jnp.array([20, 9, 3])[:, None]
+    packed = masked_flash_attention(q, k, v, k_valid, causal=True)
+    flat = masked_flash_attention(q, k, v, k_valid, causal=True,
+                                  pack=False)
+    want = _ref_masked(q, k, v, k_valid, True)
+    for got in (packed, flat):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+
 def test_masked_flash_fully_invalid_row_matches_einsum():
     """A batch row whose keys are ALL invalid must reproduce the einsum
     path's uniform-softmax-over--1e9 behavior (finite, no NaN)."""

@@ -123,18 +123,41 @@ def measure(smoke=False, only=None):
         for backend in ("einsum", "pallas"):
             m = SpeechTransformer(6347, dropout_rate=0.1,
                                   fused_attention=backend)
-            params = m.init(jax.random.PRNGKey(5), feats[:1], fv[:1],
-                            dec[:1])
+            variables = m.init(jax.random.PRNGKey(5), feats[:1], fv[:1],
+                               dec[:1])
 
             def fwd(feats, i):
                 def loss(p):
-                    lg = m.apply(p, feats, fv, dec, train=True,
-                                 rngs={"dropout": jax.random.PRNGKey(6)})
+                    lg, _ = m.apply(
+                        {**variables, "params": p}, feats, fv, dec,
+                        train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(6)})
                     return jnp.sum(lg.astype(jnp.float32) ** 2) * 1e-9
-                return jax.grad(loss)(params)
+                return jax.grad(loss)(variables["params"])
 
             dt, _ = bench._scan_time(fwd, feats, iters=6)
             record(f"e2e_grad_b64_{backend}", dt)
+
+    # LM forward + parameter gradients, train=True (dropout 0.5 — the
+    # reference's rate, hparams.py:33)
+    if want("lm_grad_b64"):
+        ids = jax.random.randint(key, (64, 64), 3, 1535, jnp.int32)
+        ids = jnp.where(jnp.arange(64)[None, :]
+                        < (64 - jnp.arange(64)[:, None] % 4), ids, 0)
+        for backend in ("einsum", "pallas"):
+            lm = TransformerLM(1536, 6345, dropout_rate=0.5,
+                               fused_attention=backend)
+            params = lm.init(jax.random.PRNGKey(7), ids)
+
+            def fwd(ids, i):
+                def loss(p):
+                    lg = lm.apply(p, ids, train=True,
+                                  rngs={"dropout": jax.random.PRNGKey(8)})
+                    return jnp.sum(lg.astype(jnp.float32) ** 2) * 1e-9
+                return jax.grad(loss)(params)
+
+            dt, _ = bench._scan_time(fwd, ids, iters=10)
+            record(f"lm_grad_b64_{backend}", dt)
     return out
 
 
