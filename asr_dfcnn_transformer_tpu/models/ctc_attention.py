@@ -44,6 +44,7 @@ class CTCAttention(nn.Module):
     parity_attention: bool = True
     parity_lengths: bool = False  # reference's ceil(T/4), data_loader2.py:136
     fused_attention: str = "auto"  # see MultiHeadAttention.fused
+    fused_ffn: str = "auto"        # see FeedForward.fused
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -69,7 +70,8 @@ class CTCAttention(nn.Module):
                                    dtype=self.dtype,
                                    name=f"block_{i}_attn")(x, x,
                                                            deterministic=det)
-            x = FeedForward(self.d_model, dtype=self.dtype,
+            x = FeedForward(self.d_model, fused=self.fused_ffn,
+                            dtype=self.dtype,
                             name=f"block_{i}_ffn")(x, deterministic=det)
         logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
                           name="output")(x)

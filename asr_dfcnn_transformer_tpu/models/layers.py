@@ -383,21 +383,71 @@ class MultiHeadAttention(nn.Module):
         return self._finish(out, query_t)
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree (kernel [in, out]
+    f32 lecun_normal + bias [out] zeros) so FeedForward's fused and
+    unfused execution paths share one checkpoint layout."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class FeedForward(nn.Module):
     """Position-wise FFN: two 1x1 projections (inner 4*d_model ReLU) with
-    residual + LayerNorm (transformer.py:204-231)."""
+    residual + LayerNorm (transformer.py:204-231).
+
+    ``fused``: backend for the two projections + ReLU ("auto" / "pallas"
+    / "einsum", the FbankConfig.backend convention). The Pallas kernel
+    (`ops/pallas/ffn_kernel.py`) keeps the [N, inner] activation in VMEM
+    instead of round-tripping it through HBM — the measured gap between
+    XLA's two-dot lowering and the MXU floor (DESIGN.md §9). Parameters
+    live under the same Dense_0/Dense_1 names either way (checkpoints
+    interchangeable); the unfused path executes nn.Dense's exact op
+    sequence on them."""
 
     d_model: int
     inner: Optional[int] = None
     dropout_rate: float = 0.0
+    fused: str = "auto"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         inner = self.inner or 4 * self.d_model
-        y = nn.Dense(inner, dtype=self.dtype)(x)
-        y = nn.relu(y)
-        y = nn.Dense(self.d_model, dtype=self.dtype)(y)
+        d_in = x.shape[-1]
+        w1, b1 = _DenseParams(inner, d_in, name="Dense_0")()
+        w2, b2 = _DenseParams(self.d_model, inner, name="Dense_1")()
+        if self.fused not in ("auto", "pallas", "einsum"):
+            raise ValueError(f"unknown ffn backend {self.fused!r}")
+        from asr_dfcnn_transformer_tpu.ops.pallas.ffn_kernel import (
+            ffn_wins, fused_ffn)
+        n = 1
+        for s in x.shape[:-1]:
+            n *= s
+        use_fused = (
+            self.fused != "einsum"
+            and (self.fused == "pallas"
+                 or (deterministic
+                     and jax.default_backend() == "tpu"
+                     and ffn_wins(n))))
+        xc = x.astype(self.dtype)
+        if use_fused:
+            y = fused_ffn(xc, w1, b1, w2, b2)
+        else:
+            w1c, b1c, w2c, b2c = (a.astype(self.dtype)
+                                  for a in (w1, b1, w2, b2))
+            dims = (((xc.ndim - 1,), (0,)), ((), ()))
+            y = jax.lax.dot_general(xc, w1c, dims) + b1c
+            y = nn.relu(y)
+            y = jax.lax.dot_general(y, w2c, dims) + b2c
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         y = y + x
         return nn.LayerNorm(dtype=self.dtype)(y)

@@ -197,6 +197,7 @@ class SpeechTransformer(nn.Module):
     prenet_fused: str = "auto"   # see MultiHeadAttention.fused
     prenet_conv1_layout: str = "auto"  # see Stride2Conv.layout
     fused_attention: str = "auto"  # enc/dec blocks; see MultiHeadAttention.fused
+    fused_ffn: str = "auto"        # see FeedForward.fused
     dropout_rate: float = 0.1
     position_max_length: int = 512
     parity_decoder: bool = False  # True = reference's cross-attention-only decoder
@@ -220,7 +221,7 @@ class SpeechTransformer(nn.Module):
             for _ in range(self.num_enc_blocks)]
         self.enc_ffn = [
             FeedForward(self.d_model, dropout_rate=self.dropout_rate,
-                        dtype=self.dtype)
+                        fused=self.fused_ffn, dtype=self.dtype)
             for _ in range(self.num_enc_blocks)]
         self.dec_embed = ScaledEmbed(self.vocab_size, self.d_model,
                                      dtype=self.dtype)
@@ -241,7 +242,7 @@ class SpeechTransformer(nn.Module):
             for _ in range(self.num_dec_blocks)]
         self.dec_ffn = [
             FeedForward(self.d_model, dropout_rate=self.dropout_rate,
-                        dtype=self.dtype)
+                        fused=self.fused_ffn, dtype=self.dtype)
             for _ in range(self.num_dec_blocks)]
         self.dec_output = nn.Dense(self.vocab_size, dtype=jnp.float32)
 

@@ -55,6 +55,7 @@ class TransformerLM(nn.Module):
     # layers.bf16_dot_general.
     logits_matmul: str = "f32"
     fused_attention: str = "auto"  # see MultiHeadAttention.fused
+    fused_ffn: str = "auto"        # see FeedForward.fused
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -80,7 +81,8 @@ class TransformerLM(nn.Module):
                     name=f"block{s}_{i}_attn")(x, x, k_valid=valid,
                                                causal=self.causal,
                                                deterministic=det)
-                x = FeedForward(self.d_model, dtype=self.dtype,
+                x = FeedForward(self.d_model, fused=self.fused_ffn,
+                                dtype=self.dtype,
                                 name=f"block{s}_{i}_ffn")(x, deterministic=det)
         if self.logits_matmul not in ("f32", "bf16"):
             raise ValueError(f"logits_matmul must be f32|bf16, got "

@@ -138,6 +138,37 @@ def measure(smoke=False, only=None):
             dt, _ = bench._scan_time(fwd, feats, iters=6)
             record(f"e2e_grad_b64_{backend}", dt)
 
+    # ---- fused FFN kernel: block-level and model-level A/B ----
+    if want("ffn"):
+        from asr_dfcnn_transformer_tpu.models.layers import FeedForward
+        for n_rows, seq in ((2048, 16), (8192, 64), (25600, 200)):
+            x = jnp.asarray(
+                0.1 * jax.random.normal(key, (n_rows // seq, seq, 512)),
+                jnp.bfloat16)
+            for backend in ("einsum", "pallas"):
+                ffn = FeedForward(512, fused=backend)
+                params = ffn.init(jax.random.PRNGKey(9), x)
+
+                def fwd(x, i):
+                    return ffn.apply(params, x)
+
+                dt, _ = bench._scan_time(fwd, x, iters=40)
+                record(f"ffn_n{n_rows}_{backend}", dt)
+        # whole LM with the attention backend pinned to auto on both sides
+        ids = jax.random.randint(key, (128, 64), 3, 1535, jnp.int32)
+        ids = jnp.where(jnp.arange(64)[None, :]
+                        < (64 - jnp.arange(128)[:, None] % 4), ids, 0)
+        for backend in ("einsum", "pallas"):
+            lm = TransformerLM(1536, 6345, dropout_rate=0.0,
+                               fused_ffn=backend)
+            params = lm.init(jax.random.PRNGKey(2), ids)
+
+            def fwd(ids, i):
+                return lm.apply(params, ids, train=False)
+
+            dt, _ = bench._scan_time(fwd, ids, iters=30)
+            record(f"full_lm_ffn_{backend}", dt)
+
     # LM forward + parameter gradients, train=True (dropout 0.5 — the
     # reference's rate, hparams.py:33)
     if want("lm_grad_b64"):
