@@ -47,6 +47,10 @@ class LmConfig:
     # ReLU-activated and bias-free. parity=True reproduces that; False uses
     # standard linear projections (recommended for fresh training).
     parity_attention: bool = True
+    # Pallas backend selectors ("auto" = measured v5e policy; "pallas" /
+    # "einsum" force — see MultiHeadAttention.fused / FeedForward.fused)
+    fused_attention: str = "auto"
+    fused_ffn: str = "auto"
     dtype: str = "bfloat16"
 
 
@@ -68,6 +72,8 @@ class E2EConfig:
     label_smoothing: float = 0.1
     lfr_m: int = 4
     lfr_n: int = 3
+    fused_attention: str = "auto"     # see MultiHeadAttention.fused
+    fused_ffn: str = "auto"           # see FeedForward.fused
     dtype: str = "bfloat16"
 
 

@@ -487,7 +487,7 @@ def _beam_search_transposed(lp_all, top_lp_all, top_ids_all, logit_lengths,
         in_specs=[
             pl.BlockSpec((8, bl), lambda i: (0, i),
                          memory_space=pltpu.VMEM),          # lens (widened)
-            pl.BlockSpec(memory_space=pltpu.ANY),           # lp (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),           # lp (manual DMA)
             pl.BlockSpec((t, k + 1, bl), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, k, bl), lambda i: (0, 0, i),
@@ -605,7 +605,7 @@ def beam_search(lp_all, top_lp_all, top_ids_all, logit_lengths, *,
         in_specs=[
             pl.BlockSpec((bb, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),          # lens (widened)
-            pl.BlockSpec(memory_space=pltpu.ANY),           # lp (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),           # lp (manual DMA)
             pl.BlockSpec((t, bb, k + 1), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((t, bb, k), row3, memory_space=pltpu.VMEM),
         ],

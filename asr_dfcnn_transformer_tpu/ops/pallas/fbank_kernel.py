@@ -259,7 +259,7 @@ def pallas_log_mel(signals: jnp.ndarray, lengths: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             # ANY-space inputs must be whole-array blocks; the kernel DMAs
             # the (batch, tile) slices itself via program_id
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3 * ROW, nbins), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * ROW, nbins), lambda bi, ti: (0, 0),

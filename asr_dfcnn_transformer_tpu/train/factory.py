@@ -57,6 +57,8 @@ def build_lm_model(cfg: Config):
         position_max_length=cfg.lm.position_max_length,
         dropout_rate=cfg.lm.dropout_rate,
         parity_attention=cfg.lm.parity_attention,
+        fused_attention=cfg.lm.fused_attention,
+        fused_ffn=cfg.lm.fused_ffn,
         dtype=_dtype(cfg.lm.dtype))
 
 
@@ -69,6 +71,8 @@ def build_e2e_model(cfg: Config):
         num_dec_blocks=cfg.e2e.num_dec_blocks,
         dropout_rate=cfg.e2e.dropout_rate,
         position_max_length=cfg.e2e.position_max_length,
+        fused_attention=cfg.e2e.fused_attention,
+        fused_ffn=cfg.e2e.fused_ffn,
         dtype=_dtype(cfg.e2e.dtype))
 
 

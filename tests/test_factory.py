@@ -59,3 +59,21 @@ def test_build_trainer_from_config(tmp_path):
     tr = factory.build_am_trainer(cfg, str(tmp_path), mesh=mesh)
     assert tr.model.vocab_size == 1536
     assert abs(float(tr.schedule(0)) - 7e-4) < 1e-8
+
+
+def test_factory_threads_fused_backends():
+    import dataclasses
+
+    from asr_dfcnn_transformer_tpu.core.config import Config
+    from asr_dfcnn_transformer_tpu.train.factory import (build_e2e_model,
+                                                         build_lm_model)
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        lm=dataclasses.replace(cfg.lm, fused_attention="einsum",
+                               fused_ffn="pallas"),
+        e2e=dataclasses.replace(cfg.e2e, fused_attention="pallas"))
+    lm = build_lm_model(cfg)
+    assert lm.fused_attention == "einsum" and lm.fused_ffn == "pallas"
+    e2e = build_e2e_model(cfg)
+    assert e2e.fused_attention == "pallas" and e2e.fused_ffn == "auto"
