@@ -117,11 +117,6 @@ class IncrementalRecognizer:
                  global_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                  max_logits: int = 200, decode: Optional[str] = None,
                  beam_width: Optional[int] = None):
-        import jax
-        import jax.numpy as jnp
-
-        from asr_dfcnn_transformer_tpu.audio import fbank as fb
-
         if halo_frames % 8:
             raise ValueError("halo_frames must be a multiple of 8")
         if chunk_logits <= 0:
@@ -344,8 +339,12 @@ class IncrementalRecognizer:
         program-edge exactness): start clamps at frame 0 so the
         utterance head shares the offline program's left edge; at
         finalize, once a centered window would cross the bucket edge,
-        the last window aligns to END at `bucket` (the offline right
-        edge) and finishes every remaining row in one shot.
+        the last window(s) align to END at `bucket` (the offline right
+        edge). ``n_new <= chunk_logits`` always — a StreamPool's batched
+        beam buffer is statically [n_slots, chunk_logits, V], so an
+        end-aligned tail longer than one chunk is drained over several
+        plans of the SAME window rather than one oversized shot (the
+        window placement is identical each round, so exactness holds).
         """
         cl, wf = self.chunk_logits, self._window_frames
         if not final:
@@ -381,7 +380,7 @@ class IncrementalRecognizer:
         if start + wf > bucket:
             start = max(bucket - wf, 0)
             win_rows = min(wf, bucket)
-            n_new = total - self._logits_done
+            n_new = min(cl, total - self._logits_done)
         return start, win_rows, self._logits_done - start // 8, n_new
 
     def _advance(self, n_new: int):

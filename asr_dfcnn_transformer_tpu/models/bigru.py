@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from asr_dfcnn_transformer_tpu.models.dfcnn import _logits_dense
+
 
 def _hard_sigmoid(x):
     """Old-Keras hard_sigmoid: clip(0.2*x + 0.5, 0, 1) — the default
@@ -91,6 +93,7 @@ class BiGRUCTC(nn.Module):
     num_layers: int = 3
     dropout_rate: float = 0.2
     keras_parity: bool = False
+    logits_matmul: str = "f32"   # see dfcnn._logits_dense
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -116,7 +119,8 @@ class BiGRUCTC(nn.Module):
                 # reference adds them to the forward outputs as-is
                 x = fwd + bwd
             x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(drop(x)))
-            logits = nn.Dense(self.vocab_size, dtype=jnp.float32)(drop(x))
+            logits = _logits_dense(self.vocab_size,
+                                   self.logits_matmul)(drop(x))
             return logits
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
         x = drop(x)
@@ -130,5 +134,5 @@ class BiGRUCTC(nn.Module):
             x = fwd(x) + bwd(x)  # fwd+bwd 'add' merge (cnn_rnn_ctc.py:51)
             x = drop(x)
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
-        logits = nn.Dense(self.vocab_size, dtype=jnp.float32)(x)
+        logits = _logits_dense(self.vocab_size, self.logits_matmul)(x)
         return logits

@@ -314,7 +314,7 @@ def _am_model(name, vocab_size, small, dtype=jnp.bfloat16,
             return models.DFCNN(vocab_size, **kw)
         if name == "bigru":
             return models.BiGRUCTC(vocab_size, hidden=32, num_layers=1,
-                                   dtype=jnp.float32)
+                                   dtype=jnp.float32, **lg)
         if name == "keras_dfcnn":
             return models.KerasDFCNN(vocab_size, dense_units=16, **kw)
         return models.SEDFCNN(vocab_size, stage_features=(4, 4, 8, 8, 8),
@@ -323,7 +323,7 @@ def _am_model(name, vocab_size, small, dtype=jnp.bfloat16,
     if name == "dfcnn":
         return models.DFCNN(vocab_size, dtype=dtype, **lg)
     if name == "bigru":
-        return models.BiGRUCTC(vocab_size, dtype=dtype)
+        return models.BiGRUCTC(vocab_size, dtype=dtype, **lg)
     if name == "keras_dfcnn":
         return models.KerasDFCNN(vocab_size, dtype=dtype, **lg)
     if name == "se_dfcnn_fast":

@@ -114,6 +114,25 @@ class TestBeamAgreement:
         for w, g in zip(want, got):
             assert w == g
 
+    def test_beam_finalize_tail_longer_than_chunk(self):
+        """Regression: the end-aligned finalize tail can hold more rows
+        than chunk_logits (short bucket + small chunk_logits). The pool's
+        batched beam buffer is statically [n_slots, chunk_logits, V], so
+        _plan_chunk must cap n_new at chunk_logits and drain the tail
+        over several plans — this used to crash the pool with a numpy
+        broadcast error and silently worked single-stream only."""
+        pipeline = _make_pipeline(with_lm=False, nfilt=40, decode="beam")
+        # ~1.26 s -> ~126 frames: bucket 128 < window 2*64+8*8 = 192,
+        # finalize tail = 16 rows > chunk_logits = 8
+        sig = _signal(1.26, seed=91)
+        kw = dict(decode="beam", beam_width=4, chunk_logits=8)
+        want = _run_single(pipeline, sig, _chunks(sig, 92), **kw)
+        pool = StreamPool(pipeline, n_slots=2, cmvn="running", **kw)
+        s = pool.open()
+        for c in _chunks(sig, 92):
+            pool.push(s, c)
+        assert pool.finalize(s) == want
+
     def test_beam_slot_reuse_after_close(self):
         pipeline = _make_pipeline(with_lm=False, nfilt=40, decode="beam")
         sig = _signal(1.3, seed=41)

@@ -117,38 +117,8 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes (harness smoke-test only)")
     args = ap.parse_args()
-    import os
-    import subprocess
-
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    try:  # same persistent compile cache as bench.py: reruns after a
-        # crash or tunnel drop must not repay minutes of compiles
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("ASR_TPU_COMPILE_CACHE", str(
-                Path(__file__).resolve().parent.parent / ".jax_cache")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    if not args.cpu:
-        # probe the tunnel in a SUBPROCESS before dispatching (an
-        # in-process init against a dead tunnel hangs indefinitely —
-        # CLAUDE.md "probe before long TPU jobs")
-        code = ("import jax, jax.numpy as jnp;"
-                "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
-        try:
-            r = subprocess.run([sys.executable, "-c", code], timeout=180,
-                               capture_output=True, text=True)
-            ok = "PROBE 16384.0" in (r.stdout or "")
-        except Exception:  # noqa: BLE001 — timeout or spawn failure
-            ok = False
-        if not ok:
-            print(json.dumps({"error": "TPU tunnel unreachable; "
-                              "not dispatching"}))
-            sys.exit(1)
-    print(json.dumps({"device": jax.devices()[0].device_kind}))
+    from tools._measure_common import setup_device
+    setup_device(args.cpu)
     if args.which in ("all", "stride2conv"):
         print(json.dumps(
             {"stride2conv": measure_stride2conv(smoke=args.smoke)}))

@@ -74,14 +74,18 @@ def measure(smoke=False, only=None):
     if want("atten"):
         x = jnp.asarray(0.1 * jax.random.normal(key, (32, 200, 320, 1)),
                         jnp.bfloat16)
-        vf = jnp.clip((jnp.abs(x[:, 0, 0, 0]) * 1e4).astype(jnp.int32)
-                      % 1600 + 1, 160, 1600)
         for backend in ("einsum", "pallas"):
             m = CTCAttention(1536, dropout_rate=0.0,
                              fused_attention=backend)
             params = m.init(jax.random.PRNGKey(3), x)
 
             def fwd(x, i):
+                # lengths derived INSIDE the traced body — a closure
+                # constant here lets XLA constant-fold the einsum path's
+                # mask arithmetic away (CLAUDE.md benchmarking trap #4)
+                vf = jnp.clip(
+                    (jnp.abs(x[:, 0, 0, 0].astype(jnp.float32)) * 1e4)
+                    .astype(jnp.int32) % 1600 + 1, 160, 1600)
                 return m.apply(params, x, vf, train=False)
 
             dt, _ = bench._scan_time(fwd, x, iters=20)
@@ -91,26 +95,36 @@ def measure(smoke=False, only=None):
     def e2e_inputs(b):
         feats = jnp.asarray(
             0.1 * jax.random.normal(key, (b, 400, 320, 1)), jnp.bfloat16)
-        # data-dependent valid lengths (prevents mask constant-folding)
-        fv = jnp.clip((jnp.abs(feats[:, 0, 0, 0]) * 1e4).astype(jnp.int32)
-                      % 1600 + 1, 160, 1600)
-        dec = jax.random.randint(jax.random.PRNGKey(4), (b, 64), 3, 6000,
-                                 jnp.int32)
+        dec0 = jax.random.randint(jax.random.PRNGKey(4), (b, 64), 3, 6000,
+                                  jnp.int32)
+        return feats, dec0
+
+    def e2e_traced_io(feats, dec0):
+        # valid lengths and decoder PAD tails derived INSIDE the traced
+        # body — closure constants here let XLA constant-fold the einsum
+        # path's mask arithmetic away (CLAUDE.md benchmarking trap #4);
+        # dec token values may stay constant, only the PAD geometry (the
+        # mask source, dec != 0) must be data-dependent
+        h = (jnp.abs(feats[:, 0, 0, 0].astype(jnp.float32)) * 1e4) \
+            .astype(jnp.int32)
+        fv = jnp.clip(h % 1600 + 1, 160, 1600)
         dec = jnp.where(jnp.arange(64)[None, :]
-                        < (64 - jnp.arange(b)[:, None] % 7), dec, 0)
-        return feats, fv, dec
+                        < (64 - h[:, None] % 7), dec0, 0)
+        return fv, dec
 
     for b, iters in ((8, 20), (64, 8)):
         if not want(f"e2e_fwd_b{b}"):
             continue
-        feats, fv, dec = e2e_inputs(b)
+        feats, dec0 = e2e_inputs(b)
+        fv0 = jnp.full((1,), 1600, jnp.int32)
         for backend in ("einsum", "pallas"):
             m = SpeechTransformer(6347, dropout_rate=0.0,
                                   fused_attention=backend)
-            params = m.init(jax.random.PRNGKey(5), feats[:1], fv[:1],
-                            dec[:1])
+            params = m.init(jax.random.PRNGKey(5), feats[:1], fv0,
+                            dec0[:1])
 
             def fwd(feats, i):
+                fv, dec = e2e_traced_io(feats, dec0)
                 return m.apply(params, feats, fv, dec, train=False)
 
             dt, _ = bench._scan_time(fwd, feats, iters=iters)
@@ -119,14 +133,16 @@ def measure(smoke=False, only=None):
     # forward + parameter gradients, train=True (attention dropout active:
     # flax Dropout on the einsum path vs the kernel's dropout-mask input)
     if want("e2e_grad_b64"):
-        feats, fv, dec = e2e_inputs(64)
+        feats, dec0 = e2e_inputs(64)
+        fv0 = jnp.full((1,), 1600, jnp.int32)
         for backend in ("einsum", "pallas"):
             m = SpeechTransformer(6347, dropout_rate=0.1,
                                   fused_attention=backend)
-            variables = m.init(jax.random.PRNGKey(5), feats[:1], fv[:1],
-                               dec[:1])
+            variables = m.init(jax.random.PRNGKey(5), feats[:1], fv0,
+                               dec0[:1])
 
             def fwd(feats, i):
+                fv, dec = e2e_traced_io(feats, dec0)
                 def loss(p):
                     lg, _ = m.apply(
                         {**variables, "params": p}, feats, fv, dec,
@@ -199,33 +215,8 @@ def main():
     ap.add_argument("--only", default=None,
                     help="substring filter on config labels")
     args = ap.parse_args()
-    import os
-    import subprocess
-
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("ASR_TPU_COMPILE_CACHE", str(
-                Path(__file__).resolve().parent.parent / ".jax_cache")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    if not args.cpu:
-        code = ("import jax, jax.numpy as jnp;"
-                "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
-        try:
-            r = subprocess.run([sys.executable, "-c", code], timeout=180,
-                               capture_output=True, text=True)
-            ok = "PROBE 16384.0" in (r.stdout or "")
-        except Exception:  # noqa: BLE001
-            ok = False
-        if not ok:
-            print(json.dumps({"error": "TPU tunnel unreachable"}))
-            sys.exit(1)
-    print(json.dumps({"device": jax.devices()[0].device_kind}), flush=True)
+    from tools._measure_common import setup_device
+    setup_device(args.cpu)
     print(json.dumps({"flash_attn": measure(smoke=args.smoke,
                                             only=args.only)}))
 

@@ -133,33 +133,8 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--batch", type=int, default=128)
     args = ap.parse_args()
-    import os
-    import subprocess
-
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("ASR_TPU_COMPILE_CACHE", str(
-                Path(__file__).resolve().parent.parent / ".jax_cache")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    if not args.cpu:
-        code = ("import jax, jax.numpy as jnp;"
-                "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
-        try:
-            r = subprocess.run([sys.executable, "-c", code], timeout=180,
-                               capture_output=True, text=True)
-            ok = "PROBE 16384.0" in (r.stdout or "")
-        except Exception:  # noqa: BLE001
-            ok = False
-        if not ok:
-            print(json.dumps({"error": "TPU tunnel unreachable"}))
-            sys.exit(1)
-    print(json.dumps({"device": jax.devices()[0].device_kind}))
+    from tools._measure_common import setup_device
+    setup_device(args.cpu)
     print(json.dumps({"am_fwd_stages": profile_stages(
         batch=args.batch if not args.smoke else 2, smoke=args.smoke)}))
 
