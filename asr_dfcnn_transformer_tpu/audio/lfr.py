@@ -35,14 +35,22 @@ def build_lfr_features(feat: jnp.ndarray, m: int = 4, n: int = 3) -> jnp.ndarray
 def batched_lfr(feat: jnp.ndarray, valid: jnp.ndarray, m: int = 4, n: int = 3):
     """[B, T, D] + [B] valid frames -> ([B, ceil(T/n), m*D], [B] valid LFR rows).
 
-    For padded batches: gathers use the padded T; valid-row count is
-    ceil(valid/n). Rows past the valid count are zero-masked so padded
-    regions stay zero (the reference pads batches with zeros).
+    Matches per-utterance :func:`build_lfr_features` on every VALID row:
+    the repeat-last-frame tail padding (utils.py:26-30) clips each
+    utterance's gather indices to ITS OWN last valid frame (``valid-1``),
+    not the padded buffer edge — the reference stacks LFR before batch
+    assembly, so a stack window crossing the utterance end repeats the
+    last real frame rather than reading the batch's zero padding.
+    Valid-row count is ceil(valid/n); rows past it are zero-masked so
+    padded regions stay zero (the reference pads batches with zeros).
     """
     b, t, d = feat.shape
     t_lfr = lfr_length(t, n)
-    idx = np.minimum(n * np.arange(t_lfr)[:, None] + np.arange(m)[None, :], t - 1)
-    out = feat[:, idx, :].reshape(b, t_lfr, m * d)
+    idx = n * jnp.arange(t_lfr)[:, None] + jnp.arange(m)[None, :]  # [T_lfr, m]
+    last = jnp.maximum(valid.astype(jnp.int32) - 1, 0)             # [B]
+    idx = jnp.minimum(idx[None], last[:, None, None])              # [B, T_lfr, m]
+    out = jnp.take_along_axis(feat, idx.reshape(b, t_lfr * m)[:, :, None],
+                              axis=1).reshape(b, t_lfr, m * d)
     valid_lfr = jnp.ceil(valid / n).astype(jnp.int32)
     mask = (jnp.arange(t_lfr)[None, :, None] < valid_lfr[:, None, None])
     return out * mask.astype(out.dtype), valid_lfr

@@ -243,29 +243,32 @@ def _pick_g(sq: int, sk: int, dh: int, bwd: bool,
 def flash_wins(r: int, tq: int, tk: int) -> bool:
     """Measured v5e policy for the masked kernel under
     ``MultiHeadAttention.fused="auto"`` (bf16, dh=64, round 4;
-    tools/measure_flash_attn.py MODEL-level A/B — block-level numbers
-    were unusable, a closure-constant k_valid let XLA fold the einsum
-    mask away). On this toolchain XLA's einsum attention is already near
-    its wall at every shape this framework runs, so the kernel
-    auto-engages only on the two classes where a model-level win was
-    measured, and `MultiHeadAttention` never auto-picks it when attention
-    dropout is live (LM fwd+grad 14.55 vs 10.81 ms einsum, e2e 104.8 vs
-    99.5 — the pack relayouts + recompute backward lose in training):
+    tools/measure_flash_attn.py MODEL-level A/B). On this toolchain
+    XLA's einsum attention is already near its wall at every shape this
+    framework runs, so the kernel auto-engages only on the one class
+    where an honest model-level win was measured, and
+    `MultiHeadAttention` never auto-picks it when attention dropout is
+    live (LM fwd+grad 14.55 vs 10.81 ms einsum, e2e 104.8 vs 99.5 — the
+    pack relayouts + recompute backward lose in training):
 
-    - self-attention, P=1, 128 < Tp <= 256 (the ctc_attention class,
-      r=256 t=200: 3.298 vs 3.452 ms model forward, +4.5%)
     - self-attention, packed T<=64 at r >= 1024 (the LM inference class,
-      b128: full model 7.22 vs 7.32 / 7.30 vs 7.56 across two runs)
+      b128: full model 7.22 vs 7.32 / 7.30 vs 7.56 across two runs; this
+      config's lengths were always traced — ids enter the jitted scan)
 
     Measured-rejected for auto (kernel still available via
-    fused="pallas"): e2e encoder T=400 (b64 model fwd 30.75 vs 30.82 —
-    wash; b8 3.34 vs 3.12 — loses), rectangular cross-attention, and
-    every training path."""
+    fused="pallas"): the ctc_attention class P=1 t=200 — an early A/B
+    captured the valid-lengths as CLOSURE CONSTANTS, letting XLA fold
+    BOTH sides' mask arithmetic, and under that fold the kernel looked
+    +4.5%; with lengths derived from the traced tensor (the production
+    situation) the verdict flips decisively, einsum 3.404 vs kernel
+    4.192 ms model forward — e2e encoder T=400 (b64 model fwd 30.75 vs
+    30.82 — wash; b8 3.34 vs 3.12 — loses), rectangular
+    cross-attention, and every training path."""
     tqp, tkp, p, _, _ = _mask_pack_geometry(tq, tk)
     if tq != tk:
         return False
     if p == 1:
-        return 128 < tqp <= 256
+        return False
     return tqp <= 64 and r >= 1024
 
 

@@ -188,8 +188,10 @@ def test_masked_flash_forward_matches_einsum(b, h, tq, tk, dh, causal,
 
 def test_flash_wins_policy():
     from asr_dfcnn_transformer_tpu.ops.pallas.attn_kernel import flash_wins
-    # atten class (t=200, P=1): win
-    assert flash_wins(256, 200, 200)
+    # atten class (t=200, P=1): einsum — the early "+4.5% kernel" A/B
+    # had closure-constant lengths folding both sides' masks; the honest
+    # re-measure flipped it (einsum 3.404 vs kernel 4.192 ms model fwd)
+    assert not flash_wins(256, 200, 200)
     # LM inference class (t=64 packed, r=b128*h8): win
     assert flash_wins(1024, 64, 64)
     # e2e decoder self (t=64, r=512): below the LM row floor

@@ -107,10 +107,14 @@ def test_batched_lfr_matches_single():
     ga = golden.build_lfr_np(a, 4, 3)
     assert int(valid[0]) == ga.shape[0]
     np.testing.assert_allclose(np.asarray(out[0]), ga, atol=1e-6)
-    # item 1: valid rows should match single-utterance LFR on the unpadded
-    # input EXCEPT rows whose stack window crosses the padding boundary;
-    # check the strictly-interior rows.
+    # item 1: EVERY valid row must match single-utterance LFR on the
+    # unpadded input — including rows whose stack window crosses the
+    # utterance end (the reference repeats the last REAL frame there,
+    # utils.py:26-30; gathering the batch's zero padding instead broke
+    # parity for the final LFR row of nearly every utterance)
     gb = golden.build_lfr_np(b, 4, 3)
-    n_interior = (17 - 4) // 3 + 1
-    np.testing.assert_allclose(np.asarray(out[1])[:n_interior],
-                               gb[:n_interior], atol=1e-6)
+    assert int(valid[1]) == gb.shape[0]
+    np.testing.assert_allclose(np.asarray(out[1])[: gb.shape[0]], gb,
+                               atol=1e-6)
+    # rows past the valid count stay zero
+    assert np.all(np.asarray(out[1])[gb.shape[0]:] == 0.0)
