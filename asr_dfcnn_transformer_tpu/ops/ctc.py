@@ -206,15 +206,19 @@ def _pad_lane(x, s_pad, value):
     return jnp.pad(x, cfg, constant_values=value)
 
 
-def _prepare_pallas(lp, emit_all, label_lengths, valid_ext, can_skip, blank):
+def _prepare_pallas(lp, emit_all, label_lengths, valid_ext, can_skip, blank,
+                    *, build_init=True):
     from asr_dfcnn_transformer_tpu.ops.pallas import ctc_kernel
     s = valid_ext.shape[1]
     s_pad = -(-s // 128) * 128
     emit_tbs = _pad_lane(jnp.moveaxis(emit_all, 2, 0), s_pad, _NEG_INF)
     valid_p = _pad_lane(valid_ext, s_pad, False)
     skip_p = _pad_lane(can_skip, s_pad, False)
-    init = _pad_lane(_alpha0(lp, emit_all, label_lengths, valid_ext, blank),
-                     s_pad, _NEG_INF)
+    # the alpha init row is only meaningful for the forward DP; the
+    # backward (_xi_pallas) builds its own beta init, so skip the work
+    init = (_pad_lane(_alpha0(lp, emit_all, label_lengths, valid_ext,
+                              blank), s_pad, _NEG_INF)
+            if build_init else None)
     return ctc_kernel, emit_tbs, valid_p, skip_p, init, s
 
 
@@ -233,7 +237,8 @@ def _xi_pallas(lp, emit_all, alphas_pad, logit_lengths, label_lengths,
                valid_ext, can_skip, blank, log_total):
     """Returns xi [T, B, S] (reverse DP fused with posteriors in VMEM)."""
     k, emit_tbs, valid_p, skip_p, _, s = _prepare_pallas(
-        lp, emit_all, label_lengths, valid_ext, can_skip, blank)
+        lp, emit_all, label_lengths, valid_ext, can_skip, blank,
+        build_init=False)
     s_pad = emit_tbs.shape[-1]
     init = _pad_lane(_beta_init(valid_ext, label_lengths), s_pad, _NEG_INF)
     skip_from = jnp.pad(can_skip, ((0, 0), (0, 2)))[:, 2:]

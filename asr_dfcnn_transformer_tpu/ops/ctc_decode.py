@@ -153,7 +153,6 @@ def ctc_beam_search_decode(logits: jnp.ndarray,
     blank = blank_id % v
     w = beam_width
     k = min(topk, v)   # can't consider more extensions than symbols exist
-    m = w * (k + 1)  # candidates per step
     lcap = max_decode_len
 
     lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -325,7 +324,7 @@ def ctc_beam_search_stream_init(batch: int, beam_width: int = 8,
 @functools.partial(jax.jit, static_argnames=("beam_width", "topk",
                                              "blank_id"))
 def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
-                                beam_width: int = 8, topk: int = 8,
+                                beam_width: int | None = None, topk: int = 8,
                                 blank_id: int = -1,
                                 frame_counts: jnp.ndarray | None = None):
     """Advance the prefix beam search over a chunk of frames.
@@ -338,6 +337,9 @@ def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
     Args:
       state: from :func:`ctc_beam_search_stream_init` (batch, W, Lcap
         are baked into its shapes).
+      beam_width: optional cross-check — W is shape-derived from the
+        state, so None just uses it; an explicit value that disagrees
+        raises instead of silently decoding with the state's W.
       log_probs: [B, Tc, V] already-normalized log-probs for the NEW
         frames only.
       frame_counts: optional [B] int — per-row count of VALID new
@@ -351,6 +353,10 @@ def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
     b, tc, v = log_probs.shape
     w = state[0].shape[1]
     lcap = state[0].shape[2]
+    if beam_width is not None and beam_width != w:
+        raise ValueError(
+            f"beam_width={beam_width} disagrees with the W={w} baked into "
+            f"the stream state (set it in ctc_beam_search_stream_init)")
     blank = blank_id % v
     k = min(topk, v)
     step = _make_beam_step(b, w, k, lcap, blank,
@@ -361,7 +367,6 @@ def ctc_beam_search_stream_step(state, log_probs: jnp.ndarray,
           jnp.moveaxis(top_ids, 1, 0), jnp.moveaxis(lp[:, :, blank], 1, 0),
           jnp.arange(tc))
     new_state, _ = jax.lax.scan(step, state, xs)
-    del beam_width  # shape-derived; kept for call-site clarity
     return new_state
 
 
@@ -380,9 +385,8 @@ def _beam_finish(prefixes, plen, pb, pnb, lcap, return_all):
     if return_all:
         return prefixes, plen, total
     best = jnp.argmax(total, axis=1)
-    take = lambda arr: jnp.take_along_axis(
-        arr, best[:, None, None] if arr.ndim == 3 else best[:, None],
-        axis=1).squeeze(1)
+    take = lambda arr: jnp.take_along_axis(    # arr: [B, W]
+        arr, best[:, None], axis=1).squeeze(1)
     best_ids = jnp.take_along_axis(
         prefixes, best[:, None, None].repeat(lcap, 2), axis=1)[:, 0, :]
     best_len = take(plen)

@@ -36,15 +36,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INF = -1e30
-
-
-def _logaddexp3(a, b, c):
-    m = jnp.maximum(jnp.maximum(a, b), c)
-    m_safe = jnp.maximum(m, _NEG_INF / 2)
-    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
-    out = m_safe + jnp.log(jnp.maximum(s, 1e-37))
-    return jnp.where(m <= _NEG_INF / 2, _NEG_INF, out)
+# the DP recurrence's numerics are SHARED with the scan backend — a
+# stability fix applied to one backend but not the other would silently
+# de-synchronize them (ops/ctc.py imports this module lazily, so the
+# top-level import is cycle-free)
+from asr_dfcnn_transformer_tpu.ops.ctc import _NEG_INF, _logaddexp3
 
 
 def _shift_down(x, k):

@@ -166,14 +166,19 @@ def _cmvn_kernel(valid_ref, feat_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_cmvn(feat: jnp.ndarray, valid: jnp.ndarray,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool | None = None) -> jnp.ndarray:
     """[B, T, F] features + [B] valid frame counts -> normalized [B, T, F].
 
     Replaces ``jax.vmap(cmvn)`` in the Pallas fbank path: XLA lowers the
     masked mean/var/normalize/re-center chain to multiple HBM passes over
     the [B, T, F] tensor; here the whole utterance (<=1600x200 f32 =
     1.25 MB) sits in VMEM for one read and one write.
+
+    ``interpret=None`` auto-interprets off TPU, like every other kernel
+    entry point in this package.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, t, f = feat.shape
     return pl.pallas_call(
         _cmvn_kernel,
@@ -197,14 +202,18 @@ def pallas_cmvn(feat: jnp.ndarray, valid: jnp.ndarray,
 def pallas_log_mel(signals: jnp.ndarray, lengths: jnp.ndarray,
                    out_frames: int,
                    cfg: FbankConfig = FbankConfig(),
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool | None = None) -> jnp.ndarray:
     """[B, S] RAW signals + [B] sample lengths -> [B, out_frames, nfilt]
     log-mel. Pre-emphasis and the boundary mask run inside the kernel.
 
     ``out_frames`` is rounded up to a multiple of 8 (and split into equal
     <=MAX_TILE-frame tiles) internally and the result sliced back.
+    ``interpret=None`` auto-interprets off TPU, like every other kernel
+    entry point in this package.
     """
     assert cfg.win_len == WIN and cfg.hop == HOP, "kernel fixed to 400/160"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, s = signals.shape
     # Tile = up to MAX_TILE frames per grid step (the whole utterance when
     # it fits): M=800 matmuls keep the MXU fed and amortize per-step grid

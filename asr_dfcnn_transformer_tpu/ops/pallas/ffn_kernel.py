@@ -30,9 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from asr_dfcnn_transformer_tpu.ops.pallas.attn_kernel import _round_up
 
 
 def _pick_gn(d: int, f: int, itemsize: int = 2) -> int:
