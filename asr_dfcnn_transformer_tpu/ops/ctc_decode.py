@@ -84,6 +84,23 @@ def ctc_greedy_decode(logits: jnp.ndarray,
 
 
 def _topk_last(x: jnp.ndarray, k: int):
+    """Exact top-k over the last axis; single-load Pallas kernel on the
+    shapes where it measured faster, k fused XLA sweeps elsewhere.
+
+    Both forms are bit-identical to ``jax.lax.top_k`` (descending values,
+    ascending-index ties) — parity pinned by tests/test_topk_kernel.py.
+    """
+    from asr_dfcnn_transformer_tpu.ops.pallas import topk_kernel
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    if (jax.default_backend() == "tpu"
+            and topk_kernel.topk_wins(n, x.shape[-1])):
+        return topk_kernel.topk_last(x, k)
+    return _topk_last_xla(x, k)
+
+
+def _topk_last_xla(x: jnp.ndarray, k: int):
     """Exact top-k over the last axis by k passes of (max, argmax, mask).
 
     Drop-in for ``jax.lax.top_k`` (same values/indices incl. the

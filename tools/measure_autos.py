@@ -108,10 +108,62 @@ def measure_fft_epilogue(batch=128, smoke=False):
     return out
 
 
+def measure_topk(batch=128, smoke=False):
+    """XLA k-sweep vs single-load Pallas kernel (`topk_kernel.topk_wins`),
+    isolated at the beam pre-prune shape AND model-level through the full
+    beam decode (CLAUDE.md trap #4: lengths derived from the traced
+    tensor, never closure constants)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_dfcnn_transformer_tpu.ops import ctc_decode
+    from asr_dfcnn_transformer_tpu.ops.pallas import topk_kernel
+
+    b, t, v = (2, 16, 96) if smoke else (batch, 200, 1536)
+    k = 8
+    x0 = jnp.asarray(jax.random.normal(jax.random.PRNGKey(0), (b, t, v)),
+                     jnp.float32)
+    out, dts = {}, {}
+    for name, fn in (("xla", lambda x, i: ctc_decode._topk_last_xla(x, k)),
+                     ("pallas", lambda x, i: topk_kernel.topk_last(x, k))):
+        dt, _ = bench._scan_time(fn, x0, iters=30)
+        dts[name] = dt
+        out[name + "_ms"] = round(1e3 * dt, 3)
+    out["speedup"] = _ratio(dts["xla"], dts["pallas"])
+
+    # model level: the whole beam decode (its own jit per variant — the
+    # decode entry is jitted at module scope, so a monkeypatched
+    # _topk_last would otherwise be invisible to its trace cache)
+    import functools as ft
+    raw = ctc_decode.ctc_beam_search_decode.__wrapped__
+    orig = ctc_decode._topk_last
+    for name, impl in (("xla", ctc_decode._topk_last_xla),
+                       ("pallas",
+                        lambda x, kk: topk_kernel.topk_last(x, kk))):
+        ctc_decode._topk_last = impl
+        try:
+            jit_fn = jax.jit(ft.partial(raw, beam_width=8, topk=k,
+                                        backend="pallas"))
+
+            def body(x, i):
+                lens = (jnp.sum(jnp.abs(x[:, :, 0]), axis=-1)
+                        .astype(jnp.int32) % t + 1)
+                ids, lengths, nlp = jit_fn(x, lens)
+                return ids, lengths, nlp
+
+            dt, _ = bench._scan_time(body, x0, iters=10)
+            dts["beam_" + name] = dt
+            out["beam_" + name + "_ms"] = round(1e3 * dt, 3)
+        finally:
+            ctc_decode._topk_last = orig
+    out["beam_speedup"] = _ratio(dts["beam_xla"], dts["beam_pallas"])
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="all",
-                    choices=["all", "stride2conv", "fft_epilogue"])
+                    choices=["all", "stride2conv", "fft_epilogue", "topk"])
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (harness smoke-test only)")
     ap.add_argument("--smoke", action="store_true",
@@ -125,6 +177,8 @@ def main():
     if args.which in ("all", "fft_epilogue"):
         print(json.dumps(
             {"fft_epilogue": measure_fft_epilogue(smoke=args.smoke)}))
+    if args.which in ("all", "topk"):
+        print(json.dumps({"topk": measure_topk(smoke=args.smoke)}))
 
 
 if __name__ == "__main__":
