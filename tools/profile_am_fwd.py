@@ -79,16 +79,24 @@ def profile_stages(batch=128, smoke=False):
             return h + SqueezeExcite(self.feats, 2)(h2, train)
 
     class Tail(nn.Module):
-        """Stages 4+5 (unpooled) + head cell."""
+        """Stages 4+5 (unpooled) + head cell.
+
+        NOTE (round-4 correction): each SEDFCNN stage runs TWO ConvBnCells
+        (the pool=False stages too — models/dfcnn.py stage body), so the
+        earlier Tail that modeled one cell per stage undercounted ~378
+        GFLOPs; its 4.0 ms reading was for half the stage convs, which is
+        what the ledger had billed to "reshape/dropout glue"."""
         feats: int
         head: int
 
         @nn.compact
         def __call__(self, x, train=False):
             for _ in range(2):
+                h = ConvBnCell(self.feats, pool=False,
+                               pool_type="avg")(x, train)
                 h2 = ConvBnCell(self.feats, pool=False,
-                                pool_type="avg")(x, train)
-                x = x + SqueezeExcite(self.feats, 2)(h2, train)
+                                pool_type="avg")(h, train)
+                x = h + SqueezeExcite(self.feats, 2)(h2, train)
             return ConvBnCell(self.head)(x, train)
 
     from asr_dfcnn_transformer_tpu.models.dfcnn import _logits_dense
