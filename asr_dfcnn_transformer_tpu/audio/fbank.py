@@ -260,7 +260,11 @@ def log_spectrogram(signal: jnp.ndarray, feature_dim: int = 200) -> jnp.ndarray:
     """
     x = np.arange(400)
     ham = jnp.asarray(0.54 - 0.46 * np.cos(2 * np.pi * x / 399), jnp.float32)
-    n = (signal.shape[0] * 1000 // 16000 - 25) // 10 + 1
+    # max(1, .): signals under ~25 ms would otherwise produce an EMPTY
+    # [0, D] feature matrix (the reference's formula does the same
+    # degenerate thing; the guard matches log_spectrogram_asrt below and
+    # every other framing helper — PARITY.md)
+    n = max(1, (signal.shape[0] * 1000 // 16000 - 25) // 10 + 1)
     raw = signal.astype(jnp.float32)
     pad_len = (n - 1) * 160 + 400
     sig = jnp.zeros((max(pad_len, raw.shape[0]),), jnp.float32).at[: raw.shape[0]].set(raw)

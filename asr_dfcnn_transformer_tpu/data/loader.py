@@ -65,11 +65,10 @@ class LMBatch:
 
 
 def _wav_num_samples(path: str) -> int:
+    # native_loader.probe already falls back to stdlib wave when the C
+    # decoder is unavailable — one header-reading policy, one place
     from asr_dfcnn_transformer_tpu.data import native_loader
-    if native_loader.available():
-        return native_loader.probe(path)[0]
-    with wave.open(path, "rb") as w:
-        return w.getnframes()
+    return native_loader.probe(path)[0]
 
 
 def frames_for_samples(num_samples: int, win: int = 400, hop: int = 160) -> int:
@@ -102,11 +101,15 @@ class DataLoader:
         self.lv = language_vocab
         self.speech_root = speech_root
         self.noise_root = noise_root
-        self.feature_max_length = feature_max_length
         self.max_label_length = max_label_length
         self.max_logit_length = max_logit_length
         self.bucket_bounds = tuple(sorted(bucket_bounds))
-        assert self.bucket_bounds[-1] >= feature_max_length or True
+        # the largest bucket is a hard length limit: rows beyond it are
+        # DROPPED by the row filter (the documented drop-row semantics),
+        # never silently truncated to the bucket while keeping their full
+        # transcript at weight 1.0
+        self.feature_max_length = min(feature_max_length,
+                                      self.bucket_bounds[-1])
 
     # ---------- path & row handling ----------
 
@@ -132,7 +135,12 @@ class DataLoader:
         path = self._resolve(self.manifest.paths[i])
         if path is None:
             return None
-        n_samples = _wav_num_samples(path)
+        try:
+            n_samples = _wav_num_samples(path)
+        except (OSError, EOFError, wave.Error):
+            # unparseable/truncated wav: drop the row like every other
+            # bad-row condition instead of aborting the epoch
+            return None
         n_frames = frames_for_samples(n_samples)
         input_len = min(self.max_logit_length, n_frames // 8 + 1)
         if n_frames > self.feature_max_length:
@@ -270,21 +278,39 @@ def prefetch(gen: Iterator, depth: int = 4) -> Iterator:
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
     err: List[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up once the consumer is gone — a plain
+        # q.put would block forever when the consumer abandons the
+        # iterator mid-epoch (NaN abort, KeyboardInterrupt), pinning the
+        # thread plus several decoded batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

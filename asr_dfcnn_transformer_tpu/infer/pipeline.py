@@ -194,8 +194,25 @@ class Pipeline:
         pinyin lengths [B], hanzi id array or None)."""
         if self.mesh is not None:
             from asr_dfcnn_transformer_tpu.parallel import shard_batch
+            # pad the batch to the data-axis size so any batch (incl. the
+            # recognize_signal batch of 1) shards; pad rows are zero
+            # signals whose outputs are sliced away below
+            d = self.mesh.shape["data"]
+            sig = np.asarray(signals, np.float32)
+            b = sig.shape[0]
+            b_pad = -(-b // d) * d
+            if b_pad != b:
+                signals = np.concatenate(
+                    [sig, np.zeros((b_pad - b,) + sig.shape[1:],
+                                   np.float32)])
+                lengths = np.concatenate(
+                    [np.asarray(lengths),
+                     np.zeros((b_pad - b,), np.asarray(lengths).dtype)])
             signals, lengths = shard_batch(self.mesh, (signals, lengths))
-            return self._infer(signals, lengths, bucket_frames)
+            out = self._infer(signals, lengths, bucket_frames)
+            if b_pad != b:
+                out = tuple(None if o is None else o[:b] for o in out)
+            return out
         return self._infer(jnp.asarray(signals), jnp.asarray(lengths),
                            bucket_frames)
 
@@ -204,11 +221,12 @@ class Pipeline:
                          ) -> Tuple[List[str], str]:
         """Single utterance -> (pinyin syllables, hanzi string) — the
         read_wav.py dfcnn_speech capability (read_wav.py:46-57)."""
+        from asr_dfcnn_transformer_tpu.data.loader import (
+            frames_for_samples, samples_for_frames)
         n = len(signal)
         if bucket_frames is None:
-            frames = max(1, 1 + (n - 400 + 159) // 160)
-            bucket_frames = infer_bucket_frames(frames)
-        s_max = (bucket_frames - 1) * 160 + 400
+            bucket_frames = infer_bucket_frames(frames_for_samples(n))
+        s_max = samples_for_frames(bucket_frames)
         buf = np.zeros((1, s_max), np.float32)
         buf[0, : min(n, s_max)] = signal[: s_max]
         pny_ids, pny_len, han_ids = self.recognize_batch(

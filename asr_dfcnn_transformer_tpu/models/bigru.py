@@ -105,20 +105,28 @@ class BiGRUCTC(nn.Module):
         drop = lambda y: nn.Dropout(self.dropout_rate)(
             y, deterministic=not train)
         if self.keras_parity:
+            # parity means parity: compute in f32 regardless of
+            # self.dtype — a bf16 recurrence compounds rounding across
+            # ~200 steps of 3 stacked GRUs, which would silently break
+            # the bit-level agreement this flag promises on imported
+            # cnn_rnn_ctc weights (the CLI's --am-hdf5 path builds this
+            # model with the default dtype)
+            pdt = jnp.float32
+            x = x.astype(pdt)
             # reference order: Dropout BEFORE each dense/gru block
             # (cnn_rnn_ctc.py:49-56)
-            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(drop(x)))
-            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(drop(x)))
+            x = nn.relu(nn.Dense(self.hidden, dtype=pdt)(drop(x)))
+            x = nn.relu(nn.Dense(self.hidden, dtype=pdt)(drop(x)))
             for i in range(self.num_layers):
                 x = drop(x)
-                fwd = KerasGRU(self.hidden, dtype=self.dtype,
+                fwd = KerasGRU(self.hidden, dtype=pdt,
                                name=f"gru_fwd_{i}")(x)
                 bwd = KerasGRU(self.hidden, go_backwards=True,
-                               dtype=self.dtype, name=f"gru_bwd_{i}")(x)
+                               dtype=pdt, name=f"gru_bwd_{i}")(x)
                 # Keras go_backwards outputs stay time-reversed; the
                 # reference adds them to the forward outputs as-is
                 x = fwd + bwd
-            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(drop(x)))
+            x = nn.relu(nn.Dense(self.hidden, dtype=pdt)(drop(x)))
             logits = _logits_dense(self.vocab_size,
                                    self.logits_matmul)(drop(x))
             return logits

@@ -67,13 +67,22 @@ class DualAxisAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, t_valid=None):
         b, t, f, c = x.shape
         time_in = x.transpose(0, 2, 1, 3).reshape(b * f, t, c)
+        # t_valid [B]: frames past an utterance's valid extent must not be
+        # attendable time-axis keys — unmasked, every valid frame gives
+        # softmax weight to the batch-padding garbage, making the encoder
+        # output (and the transcript) depend on which bucket the
+        # utterance was padded to. Freq-axis keys are always all valid.
+        kv = None
+        if t_valid is not None:
+            kv = jnp.repeat(jnp.arange(t)[None, :] < t_valid[:, None],
+                            f, axis=0)
         time_out = MultiHeadAttention(self.channels, self.num_heads,
                                       fused=self.fused,
                                       dtype=self.dtype, name="time_attn")(
-            time_in, time_in, deterministic=deterministic)
+            time_in, time_in, k_valid=kv, deterministic=deterministic)
         time_out = time_out.reshape(b, f, t, c).transpose(0, 2, 1, 3)
         freq_in = x.reshape(b * t, f, c)
         freq_out = MultiHeadAttention(self.channels, self.num_heads,
@@ -82,9 +91,21 @@ class DualAxisAttentionBlock(nn.Module):
             freq_in, freq_in, deterministic=deterministic)
         freq_out = freq_out.reshape(b, t, f, c)
         y = jnp.concatenate([time_out, freq_out], axis=-1)
+        if t_valid is not None:
+            # zero every invalid time row, before the conv and in the
+            # block output: the 3x3 conv at the LAST valid row then sees
+            # exactly the zeros that a smaller bucket's SAME-padding
+            # boundary implies, so encoder outputs are identical whether
+            # an utterance fills its bucket or rides in a larger one
+            tmask = (jnp.arange(t)[None, :]
+                     < t_valid[:, None])[:, :, None, None]
+            y = jnp.where(tmask, y, 0)
         y = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype)(y)
         y = nn.LayerNorm(dtype=self.dtype)(y)
-        return x + y
+        out = x + y
+        if t_valid is not None:
+            out = jnp.where(tmask, out, 0)
+        return out
 
 
 class Stride2Conv(nn.Module):
@@ -163,10 +184,12 @@ class PreNet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: [B, T, F, 1]. The first conv's C_in=1 shape gets the
-        # Stride2Conv treatment; parameter paths stay Conv_0/Conv_1
-        # exactly as the previous two-nn.Conv stack stored them.
+    def __call__(self, x, train: bool = False, valid=None):
+        # x: [B, T, F, 1]; valid: [B] valid input frames (None = every
+        # frame attendable, the pre-round-4 behavior). The first conv's
+        # C_in=1 shape gets the Stride2Conv treatment; parameter paths
+        # stay Conv_0/Conv_1 exactly as the previous two-nn.Conv stack
+        # stored them.
         x = Stride2Conv(self.channels, layout=self.conv1_layout,
                         dtype=self.dtype, name="Conv_0")(x)
         x = jnp.tanh(x)
@@ -177,12 +200,18 @@ class PreNet(nn.Module):
         x = jnp.tanh(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=self.dtype, name="BatchNorm_1")(x)
+        t_valid = None
+        if valid is not None:
+            # two stride-2 convs: the block-resolution valid extent
+            # matches encode()'s mem_valid rule (feat_valid // 4, min 1)
+            t_valid = jnp.maximum(jnp.asarray(valid) // 4, 1)
         for i in range(self.num_attn_blocks):
             x = DualAxisAttentionBlock(self.channels,
                                        num_heads=self.num_heads,
                                        fused=self.fused,
                                        dtype=self.dtype,
-                                       name=f"dual_{i}")(x, not train)
+                                       name=f"dual_{i}")(x, not train,
+                                                         t_valid=t_valid)
         return x
 
 
@@ -201,6 +230,12 @@ class SpeechTransformer(nn.Module):
     dropout_rate: float = 0.1
     position_max_length: int = 512
     parity_decoder: bool = False  # True = reference's cross-attention-only decoder
+    # mask batch-padding frames out of the pre-net's time-axis attention
+    # so encoder outputs don't depend on the padding bucket (the
+    # reference always pads to one fixed canvas and attends it all,
+    # model.py:226-264 — set False to reproduce that, or to restore
+    # checkpoints trained before round 4 added the mask; PARITY.md)
+    prenet_masked: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
@@ -255,7 +290,8 @@ class SpeechTransformer(nn.Module):
 
     def encode(self, feats, feat_valid, train: bool = False):
         det = not train
-        x = self.prenet(feats, train)
+        x = self.prenet(feats, train,
+                        valid=feat_valid if self.prenet_masked else None)
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
         x = self.enc_proj(x)
@@ -269,18 +305,29 @@ class SpeechTransformer(nn.Module):
             x = ffn(x, deterministic=det)
         return x, mem_valid
 
-    def decode(self, memory, mem_valid, dec_inputs, train: bool = False):
+    def decode(self, memory, mem_valid, dec_inputs, train: bool = False,
+               mask_pad: bool = True):
+        """``mask_pad=True`` (teacher forcing): PAD decoder positions are
+        real padding and must not be attendable keys — derive the mask
+        from the ids (reference's query-mask intent,
+        end2end/transformer.py:64-86). ``mask_pad=False`` (autoregressive
+        decoding): every generated token is an ordinary key under the
+        causal mask — the exact semantics of the KV-cached ``decode_one``
+        (which attends all positions <= pos), keeping the cached and
+        full-recompute decoders token-identical even when an untrained
+        model argmaxes PAD mid-sequence."""
         det = not train
         l = dec_inputs.shape[1]
         y = self.dec_embed(dec_inputs)
         y = y + self.dec_pos(l)
         y = self.dec_dropout(y, deterministic=det)
-        # PAD decoder positions must not be attendable keys: derive the
-        # mask from the ids (reference's query-mask intent,
-        # end2end/transformer.py:64-86). Position 0 is always [SOS].
-        dec_valid = jnp.asarray(dec_inputs) != constants.PAD
-        dec_valid = jnp.logical_or(
-            dec_valid, jnp.arange(l)[None, :] == 0)
+        if mask_pad:
+            dec_valid = jnp.asarray(dec_inputs) != constants.PAD
+            # position 0 is always [SOS]
+            dec_valid = jnp.logical_or(
+                dec_valid, jnp.arange(l)[None, :] == 0)
+        else:
+            dec_valid = jnp.ones(dec_inputs.shape, bool)
         for i in range(self.num_dec_blocks):
             if not self.parity_decoder:
                 y = self.dec_self[i](y, y, k_valid=dec_valid, causal=True,
@@ -358,6 +405,34 @@ def _length_penalty(length, alpha: float):
     return ((5.0 + length) / 6.0) ** alpha
 
 
+def _finalize_greedy(tokens):
+    """Emitted [B, L+1] token array (incl. the [SOS] column) -> (ids
+    [B, L] PAD-masked past the first EOS, lengths [B]). ONE home for the
+    EOS/length accounting shared by the cached and full-recompute paths —
+    any divergence here is exactly a cached-vs-uncached token mismatch."""
+    out = tokens[:, 1:]
+    seen_eos = jnp.cumsum((out == constants.EOS).astype(jnp.int32),
+                          axis=1) > 0
+    lengths = jnp.sum(1 - seen_eos.astype(jnp.int32), axis=1)
+    return jnp.where(seen_eos, constants.PAD, out), lengths
+
+
+def _finalize_beam(tokens, logp, lp_alpha: float):
+    """Beam tokens [B, K, L+1] + final beam log-probs [B, K] ->
+    (best ids [B, L], lengths [B], scores [B]) under the ((5+L)/6)^alpha
+    length penalty — shared by beam_decode and beam_decode_cached."""
+    out = tokens[:, :, 1:]
+    seen = jnp.cumsum((out == constants.EOS).astype(jnp.int32), axis=2) > 0
+    lengths = jnp.sum(1 - seen.astype(jnp.int32), axis=2)       # [B, K]
+    score = logp / _length_penalty(lengths.astype(jnp.float32), lp_alpha)
+    best = jnp.argmax(score, axis=1)
+    take = lambda a: jnp.take_along_axis(
+        a, best[:, None, None] if a.ndim == 3 else best[:, None],
+        axis=1).squeeze(1)
+    best_tokens = take(jnp.where(seen, constants.PAD, out))
+    return best_tokens, take(lengths), take(score)
+
+
 def beam_decode_cached(model: SpeechTransformer, params, feats, feat_valid,
                        beam_size: int = 3, lp_alpha: float = 0.6,
                        max_len: int = 64):
@@ -419,17 +494,7 @@ def beam_decode_cached(model: SpeechTransformer, params, feats, feat_valid,
     (tokens, logp, finished, _, _), _ = jax.lax.scan(
         step, (tokens0, logp0, fin0, self_k, self_v), jnp.arange(max_len))
 
-    out = tokens[:, :, 1:]
-    is_eos = out == constants.EOS
-    seen = jnp.cumsum(is_eos.astype(jnp.int32), axis=2) > 0
-    lengths = jnp.sum(1 - seen.astype(jnp.int32), axis=2)
-    score = logp / _length_penalty(lengths.astype(jnp.float32), lp_alpha)
-    best = jnp.argmax(score, axis=1)
-    take = lambda a: jnp.take_along_axis(
-        a, best[:, None, None] if a.ndim == 3 else best[:, None],
-        axis=1).squeeze(1)
-    best_tokens = take(jnp.where(seen, constants.PAD, out))
-    return best_tokens, take(lengths), take(score)
+    return _finalize_beam(tokens, logp, lp_alpha)
 
 
 def greedy_decode(model: SpeechTransformer, params, feats, feat_valid,
@@ -450,6 +515,7 @@ def greedy_decode(model: SpeechTransformer, params, feats, feat_valid,
     def step(carry, i):
         tokens, finished = carry
         logits = model.apply(params, memory, mem_valid, tokens[:, :-1],
+                             mask_pad=False,
                              method=SpeechTransformer.decode)
         nxt = jnp.argmax(logits[:, i, :], axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, constants.PAD, nxt)
@@ -459,12 +525,7 @@ def greedy_decode(model: SpeechTransformer, params, feats, feat_valid,
 
     (tokens, _), _ = jax.lax.scan(step, (tokens0, finished0),
                                   jnp.arange(max_len))
-    out = tokens[:, 1:]
-    is_eos = out == constants.EOS
-    seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) > 0
-    lengths = jnp.sum(1 - seen_eos.astype(jnp.int32), axis=1)
-    out = jnp.where(seen_eos, constants.PAD, out)
-    return out, lengths
+    return _finalize_greedy(tokens)
 
 
 def greedy_decode_cached(model: SpeechTransformer, params, feats, feat_valid,
@@ -511,12 +572,7 @@ def greedy_decode_cached(model: SpeechTransformer, params, feats, feat_valid,
 
     (tokens, _, _, _), _ = jax.lax.scan(
         step, (tokens0, finished0, self_k, self_v), jnp.arange(max_len))
-    out = tokens[:, 1:]
-    is_eos = out == constants.EOS
-    seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) > 0
-    lengths = jnp.sum(1 - seen_eos.astype(jnp.int32), axis=1)
-    out = jnp.where(seen_eos, constants.PAD, out)
-    return out, lengths
+    return _finalize_greedy(tokens)
 
 
 def beam_decode(model: SpeechTransformer, params, feats, feat_valid,
@@ -548,6 +604,7 @@ def beam_decode(model: SpeechTransformer, params, feats, feat_valid,
         tokens, logp, finished = carry
         flat = tokens.reshape(b * k, max_len + 1)
         logits = model.apply(params, mem, mvalid, flat[:, :-1],
+                             mask_pad=False,
                              method=SpeechTransformer.decode)
         lp = jax.nn.log_softmax(logits[:, i, :].astype(jnp.float32), -1)
         v = lp.shape[-1]
@@ -569,14 +626,4 @@ def beam_decode(model: SpeechTransformer, params, feats, feat_valid,
     (tokens, logp, finished), _ = jax.lax.scan(
         step, (tokens0, logp0, fin0), jnp.arange(max_len))
 
-    out = tokens[:, :, 1:]
-    is_eos = out == constants.EOS
-    seen = jnp.cumsum(is_eos.astype(jnp.int32), axis=2) > 0
-    lengths = jnp.sum(1 - seen.astype(jnp.int32), axis=2)  # [B, K]
-    score = logp / _length_penalty(lengths.astype(jnp.float32), lp_alpha)
-    best = jnp.argmax(score, axis=1)
-    take = lambda a: jnp.take_along_axis(
-        a, best[:, None, None] if a.ndim == 3 else best[:, None],
-        axis=1).squeeze(1)
-    best_tokens = take(jnp.where(seen, constants.PAD, out))
-    return best_tokens, take(lengths), take(score)
+    return _finalize_beam(tokens, logp, lp_alpha)

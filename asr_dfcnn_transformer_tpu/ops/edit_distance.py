@@ -65,8 +65,9 @@ def batched_edit_distance(a: jnp.ndarray, a_len: jnp.ndarray,
     row0 = jnp.broadcast_to(jnp.arange(lb + 1, dtype=jnp.int32), (bsz, lb + 1))
 
     def step(prev, i):
-        ai = jnp.take_along_axis(a, jnp.minimum(i - 1, la - 1)[None, None]
-                                 .repeat(bsz, 0), axis=1)[:, 0]      # [B]
+        # i is scanned over [1, la], so i-1 always indexes a valid column
+        ai = jax.lax.dynamic_index_in_dim(a, i - 1, axis=1,
+                                          keepdims=False)           # [B]
         sub_cost = (ai[:, None] != b).astype(jnp.int32)              # [B, Lb]
         diag = prev[:, :-1] + sub_cost                               # dp[i-1,j-1]+c
         up = prev[:, 1:] + 1                                         # dp[i-1,j]+1

@@ -33,16 +33,16 @@ _NEG_INF = -1e30          # matches ops.ctc_decode._NEG_INF
 
 
 def topk_wins(n: int, v: int) -> bool:
-    """Policy for ``topk_backend="auto"``: PROVISIONALLY the XLA sweeps
-    everywhere — the kernel auto-engages only after an on-hardware
-    model-level A/B (tools/measure_autos.py --only topk), per the house
-    rule that every auto crossover is measured, never assumed (the
-    flash-attention episode, DESIGN.md §9). Analytically the kernel
-    reads the [N, V] tensor once where the sweeps read it K times, so
-    the beam shape [25600, 1536] should win; flip this predicate to the
-    measured crossover when the TPU confirms."""
-    del n, v
-    return False
+    """Measured v5e policy (round 4, tools/measure_autos.py --which topk,
+    K=8, V=1536, slope-timed): the kernel wins at every measured row
+    count — isolated 0.217->0.035 ms (6.1x) at n=1600, 0.538->0.205
+    (2.6x) at n=6400, 2.88->1.028 (2.8x) at the beam pipeline's n=25600;
+    at the full-beam-decode level 1.005->0.937 / 3.719->3.455 /
+    6.312->3.734 ms (1.07x / 1.08x / 1.69x). Below n=1024 (the
+    streaming chunks) the XLA sweeps are already sub-0.05 ms and the
+    crossover is unmeasured, so auto stays conservative there."""
+    del v
+    return n >= 1024
 
 
 def _topk_kernel(x_ref, vals_ref, ids_ref, *, k: int, rows: int):

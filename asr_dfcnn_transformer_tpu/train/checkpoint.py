@@ -42,13 +42,38 @@ class CheckpointManager:
 
     def save_best(self, state: Any) -> None:
         """Overwrite the metric-gated best checkpoint
-        (final_model.ckpt semantics, train.py:94-96)."""
-        path = os.path.join(self._best_dir, "state")
-        self._best_ckpt.save(path, state, force=True)
+        (final_model.ckpt semantics, train.py:94-96).
+
+        Crash-safe rotation: ``force=True`` deletes the target before the
+        tmp-rename finalize, so saving straight over ``state`` would lose
+        the only best copy if the process dies mid-save (OOM, SIGKILL,
+        tunnel-outage watchdog). Instead the new state is written to
+        ``state.next`` and swapped in with directory renames; a previous
+        copy survives as ``state.old`` until the swap completes, and
+        :meth:`_best_path` falls back to the survivors."""
+        import shutil
+        final = os.path.join(self._best_dir, "state")
+        nxt, old = final + ".next", final + ".old"
+        self._best_ckpt.save(nxt, state, force=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(nxt, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _best_path(self) -> Optional[str]:
+        """The best checkpoint, surviving a crash at any point of
+        :meth:`save_best`: prefer the finalized swap, then a completed
+        ``state.next`` (crashed between renames), then ``state.old``."""
+        final = os.path.join(self._best_dir, "state")
+        for p in (final, final + ".next", final + ".old"):
+            if os.path.exists(p):
+                return p
+        return None
 
     def restore_best(self, template: Any) -> Optional[Any]:
-        path = os.path.join(self._best_dir, "state")
-        if not os.path.exists(path):
+        path = self._best_path()
+        if path is None:
             return None
         return self._best_ckpt.restore(path, item=template)
 
@@ -63,7 +88,7 @@ class CheckpointManager:
         return self._mgr.restore(step, args=ocp.args.StandardRestore())
 
     def restore_raw_best(self) -> Optional[Any]:
-        path = os.path.join(self._best_dir, "state")
-        if not os.path.exists(path):
+        path = self._best_path()
+        if path is None:
             return None
         return self._best_ckpt.restore(path)

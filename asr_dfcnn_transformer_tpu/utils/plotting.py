@@ -24,9 +24,13 @@ __all__ = ["wav_show", "plot_time", "plot_freq", "plot_spectrogram",
 def _plt():
     try:
         import matplotlib
-        # never require a display: fall back to Agg when no GUI backend
-        # is usable (CI, servers, the TPU host)
-        import matplotlib.pyplot as plt
+        try:
+            import matplotlib.pyplot as plt
+        except Exception:
+            # never require a display: when the configured GUI backend is
+            # unusable (CI, servers, the TPU host) fall back to Agg
+            matplotlib.use("Agg", force=True)
+            import matplotlib.pyplot as plt
         return plt
     except ImportError as e:  # pragma: no cover - environment dependent
         raise ImportError(

@@ -96,6 +96,30 @@ def _compact_suite(suite):
     return comp
 
 
+def _load_prior_suite(full_path, only):
+    """A targeted --only re-measure must UPDATE the on-disk full-suite
+    record, not replace it with a one-config file (which once erased the
+    round's full ledger and broke the unreachable-note citation). Full
+    runs (only=None) start fresh so the record is always one run's
+    numbers."""
+    if only is None:
+        return {}
+    try:
+        with open(full_path) as f:
+            return json.load(f)["suite"]
+    except Exception:  # noqa: BLE001 — no/invalid prior file is fine
+        return {}
+
+
+def _write_full_record(full_path, device, batch, suite, prior_suite=None):
+    """Write the full per-config record, freshly-run configs taking
+    precedence over any prior (--only-preserved) entries."""
+    with open(full_path, "w") as f:
+        json.dump(_sanitize({"device": device, "batch": batch,
+                             "suite": {**(prior_suite or {}), **suite}}),
+                  f, indent=1, allow_nan=False)
+
+
 def _strict_line(record):
     """Serialize the headline record to ONE parseable line, shrinking the
     suite summary if needed, and self-validate by strict re-parse."""
@@ -805,7 +829,8 @@ def main():
         utts = head.get("utts_per_sec", 0.0)
         extra = {"device": dev_info["device"],
                  "suite": _compact_suite(suite),
-                 "full": "BENCH_FULL.json"}
+                 "full": ("BENCH_FULL_CPU.json" if cpu_mode
+                          else "BENCH_FULL.json")}
         if note:
             extra["note"] = note
         print(_strict_line({
@@ -884,9 +909,17 @@ def main():
                 with open(os.path.join(
                         os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_FULL.json")) as f:
-                    last = json.load(f)["suite"]["am_lm_b128"]
-                prior = (f"; last recorded suite (BENCH_FULL.json): "
-                         f"{last['utts_per_sec']:.0f} utt/s")
+                    last_suite = json.load(f)["suite"]
+                # prefer the headline config, else any config that
+                # recorded a throughput (a --only re-measure may have
+                # been the last writer)
+                for name in ["am_lm_b128"] + sorted(last_suite):
+                    last = last_suite.get(name)
+                    if isinstance(last, dict) and "utts_per_sec" in last:
+                        prior = (f"; last recorded suite "
+                                 f"(BENCH_FULL.json {name}): "
+                                 f"{last['utts_per_sec']:.0f} utt/s")
+                        break
             except Exception:  # noqa: BLE001 — no prior record is fine
                 pass
             emit(note=f"TPU backend unreachable for {int(waited)}s; "
@@ -901,17 +934,20 @@ def main():
     def want(name):
         return only is None or only == name
 
+    # CPU mode is harness smoke-testing only (CLAUDE.md): its numbers
+    # must never land in the TPU ledger file the judge/driver read
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_FULL_CPU.json" if cpu_mode else "BENCH_FULL.json")
+
+    prior_suite = _load_prior_suite(full_path, only)
 
     def write_full():
         """Full per-config detail, updated after every config so even a
         time-capped run leaves a complete record on disk."""
         try:
-            with open(full_path, "w") as f:
-                json.dump(_sanitize({"device": dev_info["device"],
-                                     "batch": batch, "suite": suite}),
-                          f, indent=1, allow_nan=False)
+            _write_full_record(full_path, dev_info["device"], batch,
+                               suite, prior_suite)
         except Exception as e:  # noqa: BLE001 — the stdout line still emits
             print(f"# BENCH_FULL.json write failed: {e}", file=sys.stderr)
 

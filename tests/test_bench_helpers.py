@@ -363,3 +363,27 @@ def test_bench_unreachable_tunnel_emits_line_with_prior(tmp_path):
     if os.path.exists(os.path.join(os.path.dirname(_BENCH),
                                    "BENCH_FULL.json")):
         assert "last recorded suite" in note and "utt/s" in note
+
+
+def test_full_record_only_merges_prior_suite(tmp_path):
+    """A --only re-measure updates the on-disk full-suite record in place
+    instead of replacing it with a one-config file (which once erased the
+    round's ledger), while a full run starts fresh."""
+    path = str(tmp_path / "BENCH_FULL.json")
+    bench._write_full_record(path, "devA", 128,
+                             {"am_lm_b128": {"utts_per_sec": 2000.0},
+                              "lm_only": {"utts_per_sec": 17000.0}})
+    # targeted re-measure of ONE config
+    prior = bench._load_prior_suite(path, only="lm_only")
+    assert set(prior) == {"am_lm_b128", "lm_only"}
+    bench._write_full_record(path, "devA", 128,
+                             {"lm_only": {"utts_per_sec": 18000.0}},
+                             prior)
+    rec = json.load(open(path))["suite"]
+    assert rec["am_lm_b128"]["utts_per_sec"] == 2000.0   # preserved
+    assert rec["lm_only"]["utts_per_sec"] == 18000.0     # updated
+    # a FULL run must not inherit stale configs
+    assert bench._load_prior_suite(path, only=None) == {}
+    # and a missing/corrupt prior file is fine for --only
+    assert bench._load_prior_suite(str(tmp_path / "nope.json"),
+                                   only="lm_only") == {}

@@ -118,3 +118,17 @@ def test_batched_lfr_matches_single():
                                atol=1e-6)
     # rows past the valid count stay zero
     assert np.all(np.asarray(out[1])[gb.shape[0]:] == 0.0)
+
+
+def test_log_spectrogram_short_signal_one_frame():
+    """Signals under one 25 ms window must produce one padded frame, not
+    an empty [0, D] matrix (matches log_spectrogram_asrt's guard)."""
+    import numpy as np
+
+    from asr_dfcnn_transformer_tpu.audio.fbank import (log_spectrogram,
+                                                       log_spectrogram_asrt)
+    sig = np.random.RandomState(0).randn(320).astype(np.float32)
+    out = log_spectrogram(sig)
+    assert out.shape == (1, 200) and np.isfinite(np.asarray(out)).all()
+    out2 = log_spectrogram_asrt(sig)
+    assert out2.shape == (1, 200)

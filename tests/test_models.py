@@ -292,3 +292,75 @@ def test_take_rows_grad_matches_scatter():
     # forward unchanged
     np.testing.assert_array_equal(np.asarray(_take_rows(table, ids)),
                                   np.asarray(jnp.take(table, ids, axis=0)))
+
+
+def test_ar_decode_pad_key_semantics_match_cached(rng):
+    """decode(mask_pad=False) must equal the decode_one chain even when a
+    generated token is PAD — previously the uncached AR path masked PAD
+    keys the KV-cached path attends, so the two decoders could diverge
+    on any model that argmaxes PAD mid-sequence (e.g. at random init)."""
+    m = _tiny_e2e()
+    feats = _feats(2, 16, 8)
+    valid = jnp.array([16, 12])
+    # interior PAD (id 0) at position 2
+    toks = np.array([[1, 5, 0, 7], [1, 0, 2, 9]], np.int32)
+    params = m.init(rng, feats, valid, toks, train=False)
+
+    memory, mem_valid = m.apply(params, feats, valid,
+                                method=models.SpeechTransformer.encode)
+    full = m.apply(params, memory, mem_valid, toks, mask_pad=False,
+                   method=models.SpeechTransformer.decode)
+
+    cross_k, cross_v, pos_table = m.apply(
+        params, memory,
+        method=models.SpeechTransformer.precompute_decode_state)
+    mem_len = jnp.sum(mem_valid.astype(jnp.int32), axis=-1)
+    sk = jnp.zeros((1, 2, 4, m.d_model), cross_k.dtype)
+    sv = jnp.zeros((1, 2, 4, m.d_model), cross_k.dtype)
+    for pos in range(4):
+        logits, sk, sv = m.apply(
+            params, jnp.asarray(toks[:, pos]), pos, pos_table[pos],
+            cross_k, cross_v, sk, sv, mem_len,
+            method=models.SpeechTransformer.decode_one)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[:, pos]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_prenet_mask_makes_decode_bucket_invariant(rng):
+    """The same utterance padded into two different buckets must decode
+    identically: the pre-net's time-axis attention masks batch-padding
+    keys (unmasked, every valid frame attends the padding garbage and the
+    transcript depends on the bucket)."""
+    m = _tiny_e2e()
+    rs = np.random.default_rng(3)
+    # 32 valid frames FILL the short bucket — the hard case: the dual
+    # blocks' 3x3 conv at the last valid row must see the same zeros the
+    # smaller bucket's SAME-padding boundary implies
+    sig = rs.standard_normal((1, 32, 8, 1)).astype(np.float32)
+    valid = jnp.array([32])
+    short = np.zeros((1, 32, 8, 1), np.float32)
+    short[:, :32] = sig
+    long = np.zeros((1, 64, 8, 1), np.float32)
+    long[:, :32] = sig
+    dec_in = np.array([[1, 5, 6]], np.int32)
+    params = m.init(rng, jnp.asarray(short), valid, dec_in, train=False)
+
+    ids_s, len_s = models.greedy_decode_cached(m, params,
+                                               jnp.asarray(short), valid,
+                                               max_len=6)
+    ids_l, len_l = models.greedy_decode_cached(m, params,
+                                               jnp.asarray(long), valid,
+                                               max_len=6)
+    assert list(np.asarray(len_s)) == list(np.asarray(len_l))
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_l))
+
+    # encoder rows at valid memory positions agree across buckets
+    mem_s, mv_s = m.apply(params, jnp.asarray(short), valid,
+                          method=models.SpeechTransformer.encode)
+    mem_l, _ = m.apply(params, jnp.asarray(long), valid,
+                       method=models.SpeechTransformer.encode)
+    nv = int(jnp.sum(mv_s[0]))
+    np.testing.assert_allclose(np.asarray(mem_s[0, :nv]),
+                               np.asarray(mem_l[0, :nv]),
+                               rtol=2e-5, atol=2e-5)

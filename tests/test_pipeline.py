@@ -157,3 +157,33 @@ def test_pipeline_sharded_over_mesh(setup):
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
     np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+
+def test_pipeline_single_utterance_on_mesh(setup):
+    """recognize_signal builds a batch of 1, which must shard on any mesh
+    (padded to the data-axis size internally) and match the unmeshed
+    result — previously this crashed on every mesh-configured Pipeline."""
+    from asr_dfcnn_transformer_tpu.parallel import make_mesh
+    dl, am, am_vars, lm, lm_vars, av, lv = setup
+    plain = Pipeline(am, am_vars, lm, lm_vars, acoustic_vocab=av,
+                     language_vocab=lv)
+    sharded = Pipeline(am, am_vars, lm, lm_vars, acoustic_vocab=av,
+                       language_vocab=lv, mesh=make_mesh(8, 1))
+    sig, _, _ = dl.load_utterance(0)
+    p0, h0 = plain.recognize_signal(sig)
+    p1, h1 = sharded.recognize_signal(sig)
+    assert p0 == p1 and h0 == h1
+
+    # non-divisible multi-row batches shard too (pad rows sliced away)
+    batch = next(dl.am_batches(8, shuffle=False))
+    a0 = plain.recognize_batch(batch.signals[:3], batch.signal_lengths[:3],
+                               bucket_frames=batch.bucket_frames)
+    a1 = sharded.recognize_batch(batch.signals[:3],
+                                 batch.signal_lengths[:3],
+                                 bucket_frames=batch.bucket_frames)
+    for x0, x1 in zip(a0, a1):
+        if x0 is None:
+            assert x1 is None
+            continue
+        assert np.asarray(x1).shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
