@@ -9,6 +9,7 @@ retention policy; the "best" copy lives in its own subdirectory.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -40,7 +41,7 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def save_best(self, state: Any) -> None:
+    def save_best(self, state: Any, metric: Optional[float] = None) -> None:
         """Overwrite the metric-gated best checkpoint
         (final_model.ckpt semantics, train.py:94-96).
 
@@ -50,7 +51,17 @@ class CheckpointManager:
         tunnel-outage watchdog). Instead the new state is written to
         ``state.next`` and swapped in with directory renames; a previous
         copy survives as ``state.old`` until the swap completes, and
-        :meth:`_best_path` falls back to the survivors."""
+        :meth:`_best_path` falls back to the survivors.
+
+        ``metric`` (optional) persists the gating metric value next to the
+        checkpoint so a RESUMED run's gate starts from the historical best
+        instead of clobbering it with its first dev sweep (the reference
+        resets its in-process ``old_wer``/``old_acc`` on every launch,
+        train.py:45-50 + :94-96 — a resumed reference run overwrites
+        final_model.ckpt unconditionally). Written atomically AFTER the
+        state swap: a crash in between leaves the previous (worse) metric
+        on disk, which can only make the gate more permissive — never
+        blocks a real improvement."""
         import shutil
         final = os.path.join(self._best_dir, "state")
         nxt, old = final + ".next", final + ".old"
@@ -60,6 +71,25 @@ class CheckpointManager:
             os.rename(final, old)
         os.rename(nxt, final)
         shutil.rmtree(old, ignore_errors=True)
+        if metric is not None:
+            path = self._best_metric_path()
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"metric": float(metric)}, f)
+            os.replace(tmp, path)
+
+    def _best_metric_path(self) -> str:
+        return os.path.join(self._best_dir, "metric.json")
+
+    def best_metric(self) -> Optional[float]:
+        """The persisted gating metric of the best checkpoint, or None
+        when absent (pre-metric checkpoints, or no best saved yet). Only
+        meaningful while a best state survives on disk."""
+        path = self._best_metric_path()
+        if self._best_path() is None or not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return float(json.load(f)["metric"])
 
     def _best_path(self) -> Optional[str]:
         """The best checkpoint, surviving a crash at any point of

@@ -261,15 +261,20 @@ def _apply_config(args):
     if getattr(args, "model", None) is None and args.cmd == "am":
         args.model = cfg.am.model
     os.makedirs(args.workdir, exist_ok=True)
-    # record the effective config next to the checkpoints
-    eff = cfg
-    if args.cmd == "am" and args.lr is not None:
-        eff = eff.replace(am=dataclasses.replace(eff.am, lr=args.lr,
-                                                 batch_size=args.batch_size
-                                                 or eff.am.batch_size))
-    with open(os.path.join(args.workdir, "config.json"), "w",
-              encoding="utf-8") as f:
-        f.write(config_to_json(eff))
+    # record the effective config next to the checkpoints — but only for
+    # TRAINING commands: eval/infer resolve defaults too, and writing
+    # their (default) config would clobber the record of what training
+    # actually used
+    if args.cmd in ("am", "lm", "atten", "e2e", "joint"):
+        eff = cfg
+        if args.cmd == "am" and args.lr is not None:
+            eff = eff.replace(
+                am=dataclasses.replace(eff.am, lr=args.lr,
+                                       batch_size=args.batch_size
+                                       or eff.am.batch_size))
+        with open(os.path.join(args.workdir, "config.json"), "w",
+                  encoding="utf-8") as f:
+            f.write(config_to_json(eff))
     return cfg
 
 

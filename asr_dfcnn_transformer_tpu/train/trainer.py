@@ -160,8 +160,18 @@ class _TrainerBase:
     def save(self, epoch: int):
         self.ckpt.save(epoch, jax.tree.map(np.asarray, self.state))
 
-    def save_best(self):
-        self.ckpt.save_best(jax.tree.map(np.asarray, self.state))
+    def save_best(self, metric: Optional[float] = None):
+        self.ckpt.save_best(jax.tree.map(np.asarray, self.state),
+                            metric=metric)
+
+    def _best_gate(self, mode: str) -> float:
+        """Initial value for the best-checkpoint gate: the persisted
+        metric of the best checkpoint on disk, so resumed runs never
+        clobber a better historical best (checkpoint.py:save_best)."""
+        stored = self.ckpt.best_metric()
+        if stored is not None:
+            return stored
+        return float("inf") if mode == "min" else -float("inf")
 
 
 # --------------------------------------------------------------------------
@@ -292,7 +302,7 @@ class AMTrainer(_TrainerBase):
             epochs: int, rng=None, log_every: int = 2) -> Dict[str, float]:
         """Epoch loop with dev-WER-gated best save (train.py:54-96)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        best_wer = float("inf")
+        best_wer = self._best_gate("min")
         last = {}
         start_epoch = (self.ckpt.latest_step() or -1) + 1
         for epoch in range(start_epoch, epochs):
@@ -317,7 +327,7 @@ class AMTrainer(_TrainerBase):
             self.save(epoch)
             if evals and wer < best_wer:
                 best_wer = wer
-                self.save_best()
+                self.save_best(metric=wer)
             last = {"epoch": epoch, "dev_loss": loss, "dev_wer": wer}
         return last
 
@@ -428,7 +438,7 @@ class AttenTrainer(_TrainerBase):
     def fit(self, train_batches, dev_batches, epochs: int, rng=None,
             log_every: int = 2) -> Dict[str, float]:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        best_wer = float("inf")
+        best_wer = self._best_gate("min")
         last = {}
         start_epoch = (self.ckpt.latest_step() or -1) + 1
         for epoch in range(start_epoch, epochs):
@@ -447,7 +457,7 @@ class AttenTrainer(_TrainerBase):
             self.save(epoch)
             if evals and wer < best_wer:
                 best_wer = wer
-                self.save_best()
+                self.save_best(metric=wer)
             last = {"epoch": epoch, "dev_wer": wer}
         return last
 
@@ -523,7 +533,7 @@ class LMTrainer(_TrainerBase):
     def fit(self, train_batches, dev_batches, epochs: int, rng=None,
             log_every: int = 10) -> Dict[str, float]:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        best_acc = -1.0
+        best_acc = self._best_gate("max")
         last = {}
         start_epoch = (self.ckpt.latest_step() or -1) + 1
         for epoch in range(start_epoch, epochs):
@@ -544,7 +554,7 @@ class LMTrainer(_TrainerBase):
             self.save(epoch)
             if evals and acc > best_acc:
                 best_acc = acc
-                self.save_best()
+                self.save_best(metric=acc)
             last = {"epoch": epoch, "dev_loss": loss, "dev_acc": acc}
         return last
 
@@ -652,7 +662,7 @@ class JointTrainer(_TrainerBase):
         acc-gated best save the reference's broken joint driver evidently
         intended (am_lm_train.py:97-110 references undefined tensors)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        best_acc = -1.0
+        best_acc = self._best_gate("max")
         last = {}
         start_epoch = (self.ckpt.latest_step() or -1) + 1
         for epoch in range(start_epoch, epochs):
@@ -676,7 +686,7 @@ class JointTrainer(_TrainerBase):
                 last.update(dev_loss=loss, dev_lm_acc=acc)
                 if evals and acc > best_acc:
                     best_acc = acc
-                    self.save_best()
+                    self.save_best(metric=acc)
             self.save(epoch)
         return last
 
@@ -832,7 +842,7 @@ class E2ETrainer(_TrainerBase):
         other trainers."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         last = {}
-        best_acc = -1.0
+        best_acc = self._best_gate("max")
         start_epoch = 0
         if self.ckpt.latest_step() is not None and \
                 os.path.exists(self._epoch_marker_path()):
@@ -861,7 +871,7 @@ class E2ETrainer(_TrainerBase):
                 last.update(dev_loss=loss, dev_acc=acc)
                 if evals and acc > best_acc:
                     best_acc = acc
-                    self.save_best()
+                    self.save_best(metric=acc)
             self.save(int(self.state.step))
             with open(self._epoch_marker_path(), "w") as f:
                 json.dump({"epochs_completed": epoch + 1}, f)

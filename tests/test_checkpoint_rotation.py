@@ -57,3 +57,44 @@ def test_next_save_recovers_from_crash_debris(tmp_path):
     mgr.save_best(_state(3))
     assert _best(mgr, _state(0)) == 3.0
     assert sorted(os.listdir(os.path.dirname(best))) == ["state"]
+
+
+def test_best_metric_persists_and_gates_resume(tmp_path):
+    """A resumed run's best gate must start from the historical best,
+    not clobber it with its first dev sweep (trainer._best_gate)."""
+    from asr_dfcnn_transformer_tpu.train.trainer import _TrainerBase
+
+    mgr = CheckpointManager(str(tmp_path / "w"))
+    assert mgr.best_metric() is None                   # nothing saved yet
+    mgr.save_best(_state(1), metric=0.25)
+    assert mgr.best_metric() == 0.25
+    mgr.save_best(_state(2), metric=0.10)
+    assert mgr.best_metric() == 0.10
+
+    # a fresh manager over the same directory (process restart) sees it
+    mgr2 = CheckpointManager(str(tmp_path / "w"))
+    assert mgr2.best_metric() == 0.10
+
+    # the trainer gate uses the persisted value...
+    t = _TrainerBase.__new__(_TrainerBase)
+    t.ckpt = mgr2
+    assert t._best_gate("min") == 0.10
+    # ...and falls back to the mode's identity when nothing is stored
+    t.ckpt = CheckpointManager(str(tmp_path / "empty"))
+    assert t._best_gate("min") == float("inf")
+    assert t._best_gate("max") == -float("inf")
+
+
+def test_best_metric_none_without_state(tmp_path):
+    """A stale metric file with no restorable state must not gate."""
+    mgr = CheckpointManager(str(tmp_path / "w"))
+    mgr.save_best(_state(1), metric=0.5)
+    shutil.rmtree(os.path.join(mgr.directory, "best", "state"))
+    assert mgr.best_metric() is None
+
+
+def test_save_best_without_metric_keeps_old_behavior(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "w"))
+    mgr.save_best(_state(1))
+    assert mgr.best_metric() is None
+    assert _best(mgr, _state(0)) == 1.0

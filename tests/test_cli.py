@@ -333,6 +333,21 @@ def test_cli_export_serving_preserves_config_snapshot(workdir):
     assert os.path.exists(out)
 
 
+def test_cli_eval_preserves_config_snapshot(workdir, capsys):
+    """eval/infer resolve config defaults like every command, but must
+    not re-snapshot <workdir>/config.json over the training-time record
+    (they used to). Depends on the train tests having run."""
+    cfg_path = os.path.join(workdir, "config.json")
+    sentinel = '{"_sentinel": "written by the training run"}'
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        f.write(sentinel)
+    cli.main(["eval-lm", "--workdir", workdir, "--synthetic", "16",
+              "--small", "--batch-size", "8"])
+    capsys.readouterr()
+    with open(cfg_path, encoding="utf-8") as f:
+        assert f.read() == sentinel
+
+
 def test_cli_export_and_eval_lm_tf1(tmp_path, capsys):
     """Round trip the LM through the reference's TF1 Saver format:
     train -> export --what lm -> eval-lm --lm-tf-ckpt (in a workdir with
