@@ -217,6 +217,38 @@ def test_incremental_near_bucket_boundary_parity():
         assert pinyin == off_pinyin, (seed, decode, pinyin, off_pinyin)
 
 
+def test_incremental_random_geometry_sweep():
+    """Breadth insurance for the exactness claim: random utterance
+    lengths (every residue class mod 8 / mod 128 is fair game), random
+    push sizes and random chunk/group geometry must ALL reproduce the
+    offline decode exactly. Catches window-planning off-by-ones the
+    hand-picked boundary tests above can miss."""
+    rng = np.random.default_rng(123)
+    pipes = {"greedy": _make_pipeline(),
+             "beam": _make_pipeline(decode="beam")}
+    for trial in range(8):
+        frames = int(rng.integers(40, 300))
+        n = 400 + (frames - 1) * 160        # exactly `frames` fbank rows
+        sig = _signal(seconds=(n + 1) / 16000.0, seed=100 + trial)[:n]
+        assert len(sig) == n
+        decode = "beam" if trial % 4 == 3 else "greedy"
+        pipe = pipes[decode]
+        stats = _exact_global_stats(sig, 40)
+        rec = IncrementalRecognizer(
+            pipe, chunk_logits=int(rng.choice([4, 8, 16])),
+            halo_frames=64, frame_group=int(rng.choice([32, 64, 128])),
+            cmvn="global", global_stats=stats)
+        i = 0
+        while i < len(sig):
+            step = int(rng.integers(97, 6007))
+            rec.push(sig[i: i + step])
+            i += step
+        pinyin, _ = rec.finalize()
+        off_pinyin, _ = pipe.recognize_signal(sig)
+        assert pinyin == off_pinyin, (
+            trial, frames, decode, pinyin, off_pinyin)
+
+
 def test_incremental_max_logits_enforced_mid_stream():
     """max_logits bounds decode during push(), not only at finalize
     (ADVICE r3 #2) — long streams stop decoding at the cap."""
