@@ -197,7 +197,12 @@ int32_t asrwav_decode_batch(const char** paths, int32_t batch,
                             float* out, int64_t max_samples,
                             int64_t* lengths) {
   std::atomic<int32_t> ok{0};
-  std::atomic<int32_t> remaining{batch};
+  // remaining is guarded by done_mu (NOT atomic): the waiter owns these
+  // stack locals and destroys them on return, so the last worker's
+  // decrement-and-notify must be one critical section — an atomic
+  // decrement before the lock would let a spurious wakeup observe 0,
+  // return, and destroy the mutex the worker is about to lock.
+  int32_t remaining = batch;
   std::mutex done_mu;
   std::condition_variable done_cv;
   for (int32_t i = 0; i < batch; ++i) {
@@ -211,14 +216,14 @@ int32_t asrwav_decode_batch(const char** paths, int32_t batch,
         memset(row, 0, (size_t)max_samples * sizeof(float));
       }
       lengths[i] = n;
-      if (remaining.fetch_sub(1) == 1) {
+      {
         std::unique_lock<std::mutex> lk(done_mu);
-        done_cv.notify_one();
+        if (--remaining == 0) done_cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lk(done_mu);
-  done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  done_cv.wait(lk, [&] { return remaining == 0; });
   return ok.load();
 }
 
