@@ -145,9 +145,11 @@ def irfft_matmul(sr: jnp.ndarray, si: jnp.ndarray, n: int,
     ``epilogue`` selects how the final interleave relayout runs: "xla"
     (two relayout passes), "pallas" (one fused read-z/write-x kernel,
     ``ops/pallas/fft_epilogue.py`` — bit-identical output), or "auto".
-    "auto" currently resolves to "xla" everywhere: the kernel's win is
-    not yet measured on hardware (flip here once it is — FbankConfig
-    "auto"-crossover convention).
+    "auto" resolves to "xla": MEASURED on the v5e (round 4,
+    tools/measure_autos.py, n=262144 b128 bf16, two runs: 1.02x then
+    0.91x) the kernel has no stable win — after the compute-dtype
+    refinement the XLA relayouts are already near mandatory traffic.
+    The kernel stays available opt-in (DESIGN.md §9).
 
     Packing: with S the half-spectrum and Sc[k] = conj(S[h-k]) its
     reflected conjugate (h = n/2), the length-h complex sequence
