@@ -100,6 +100,14 @@ def _build_parser():
                                  "reference; audio/specaugment.py — for "
                                  "e2e it masks the fbank features before "
                                  "LFR stacking)")
+        if name in ("am", "lm", "atten", "e2e", "joint"):
+            sp.add_argument("--tensorboard", action="store_true",
+                            help="also write TensorBoard event files to "
+                                 "<workdir>/tb/<name> (clean-room writer, "
+                                 "utils/tb_events.py; reference parity "
+                                 "with lm_and_am/train.py:51-53 — e2e "
+                                 "additionally dumps per-epoch attention "
+                                 "images, end2end/transformer.py:105-106)")
         if name in ("eval", "eval-e2e"):
             sp.add_argument("--decode", default="greedy",
                             choices=["greedy", "beam"])
@@ -358,6 +366,8 @@ def cmd_am(args):
     tr = AMTrainer(model, args.workdir, lr=args.lr or 7e-4,
                    augment_noise=args.augment_noise,
                    augment_spec=getattr(args, "augment_spec", False))
+    if getattr(args, "tensorboard", False):
+        tr.enable_tensorboard()
     first = next(train_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(
         jax.random.PRNGKey(args.seed), first))
@@ -376,6 +386,8 @@ def cmd_lm(args):
     train_dl, dev_dl = loader("train", True), loader("dev", False)
     model = _lm_model(av.size, lv.size, args.small)
     tr = LMTrainer(model, args.workdir, lr=args.lr or 5e-5)
+    if getattr(args, "tensorboard", False):
+        tr.enable_tensorboard()
     first = next(train_dl.lm_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(
         jax.random.PRNGKey(args.seed), first))
@@ -401,6 +413,8 @@ def cmd_atten(args):
     else:
         model = CTCAttention(lv.size)
     tr = AttenTrainer(model, args.workdir, lr=args.lr or 7e-4)
+    if getattr(args, "tensorboard", False):
+        tr.enable_tensorboard()
     first = next(train_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(
         jax.random.PRNGKey(args.seed), first))
@@ -429,6 +443,8 @@ def cmd_e2e(args):
     tr = E2ETrainer(model, args.workdir, lr=args.lr or 3e-4,
                     feature_dim=80 if not args.small else 40,
                     augment_spec=getattr(args, "augment_spec", False))
+    if getattr(args, "tensorboard", False):
+        tr.enable_tensorboard()
     dev_dl = loader("dev", False)
     first = next(train_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(
@@ -452,6 +468,8 @@ def cmd_joint(args):
     model = AMLMJoint(av.size, lv.size, small=args.small,
                       dtype=jnp.float32 if args.small else jnp.bfloat16)
     tr = JointTrainer(model, args.workdir, lr=args.lr or 7e-4)
+    if getattr(args, "tensorboard", False):
+        tr.enable_tensorboard()
     first = next(train_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(
         jax.random.PRNGKey(args.seed), first))

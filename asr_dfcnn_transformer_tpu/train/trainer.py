@@ -65,12 +65,30 @@ class TrainState(struct.PyTreeNode):
 
 
 class MetricWriter:
-    """JSONL metric log + stdout — the observability layer replacing the
-    reference's TensorBoard scalars + prints (SURVEY.md §5)."""
+    """JSONL metric log + stdout — the primary observability layer
+    replacing the reference's TensorBoard scalars + prints (SURVEY.md §5).
+
+    :meth:`enable_tensorboard` additionally tees every numeric metric
+    into real TensorBoard event files (clean-room writer,
+    ``utils/tb_events.py``) so ``tensorboard --logdir <workdir>/tb``
+    works exactly as it does for the reference's trainers
+    (lm_and_am/train.py:51-53, end2end/model.py:105-112)."""
 
     def __init__(self, workdir: str, name: str):
         os.makedirs(workdir, exist_ok=True)
         self.path = os.path.join(workdir, f"{name}_metrics.jsonl")
+        self._workdir = workdir
+        self._name = name
+        self.tb = None
+
+    def enable_tensorboard(self, logdir: Optional[str] = None):
+        """Create (or return) the TensorBoard event-file sink."""
+        if self.tb is None:
+            from asr_dfcnn_transformer_tpu.utils.tb_events import (
+                TBEventWriter)
+            self.tb = TBEventWriter(
+                logdir or os.path.join(self._workdir, "tb", self._name))
+        return self.tb
 
     def write(self, step: int, **metrics):
         rec = {"step": int(step), "time": time.time()}
@@ -78,6 +96,15 @@ class MetricWriter:
                     for k, v in metrics.items()})
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            split = metrics.get("split")
+            prefix = f"{self._name}/{split}/" if split else f"{self._name}/"
+            for k, v in rec.items():
+                if k in ("step", "time", "split", "epoch"):
+                    continue
+                if isinstance(v, float) and np.isfinite(v):
+                    self.tb.scalar(prefix + k, v, rec["step"])
+            self.tb.flush()
 
 
 def _weighted_mean(values, weights):
@@ -112,6 +139,11 @@ class _TrainerBase:
         self.state: Optional[TrainState] = None
 
     # -- observability / failure detection ------------------------------
+
+    def enable_tensorboard(self):
+        """Tee metrics into TensorBoard event files under
+        ``<workdir>/tb/<name>`` (CLI ``--tensorboard``)."""
+        return self.metrics.enable_tensorboard()
 
     profile_steps: int = 0  # >0: jax.profiler trace of the first N steps
 
@@ -827,6 +859,31 @@ class E2ETrainer(_TrainerBase):
     def _epoch_marker_path(self) -> str:
         return os.path.join(self.workdir, "e2e_epochs_completed.json")
 
+    def _write_attention_images(self, batch: AMBatch, step: int):
+        """Attention-heatmap image summaries for one dev batch.
+
+        The reference writes the first head's attention scores as a
+        TensorBoard image inside every attention op
+        (end2end/transformer.py:105-106, flushed every 200 steps at
+        model.py:112); here each captured attention module's map for the
+        first utterance / first head is dumped once per dev sweep when
+        ``--tensorboard`` is on. Runs un-jitted (one capture-enabled
+        ``apply`` per epoch)."""
+        from asr_dfcnn_transformer_tpu.utils.introspect import (
+            attention_maps)
+        dec_in, _ = self.make_decoder_io(batch.hanzi, batch.hanzi_lengths)
+        feats, valid = self._features(jnp.asarray(batch.signals),
+                                      jnp.asarray(batch.signal_lengths),
+                                      batch.bucket_frames)
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        maps = attention_maps(self.model, variables, feats, valid,
+                              jnp.asarray(dec_in), train=False)
+        for path, probs in maps.items():
+            img = np.asarray(probs[0, 0], dtype=np.float32)
+            self.metrics.tb.image(f"e2e/attention/{path}", img, step)
+
     def fit(self, train_batches, epochs: int, rng=None,
             log_every: int = 10, ckpt_every: int = 1000,
             dev_batches=None) -> Dict[str, float]:
@@ -869,6 +926,11 @@ class E2ETrainer(_TrainerBase):
                 print(f"[e2e] epoch {epoch}: dev_loss {loss:.3f} "
                       f"dev_acc {acc:.3f}", flush=True)
                 last.update(dev_loss=loss, dev_acc=acc)
+                if self.metrics.tb is not None:
+                    first_dev = next(iter(dev_batches()), None)
+                    if first_dev is not None:
+                        self._write_attention_images(
+                            first_dev, int(self.state.step))
                 if evals and acc > best_acc:
                     best_acc = acc
                     self.save_best(metric=acc)
