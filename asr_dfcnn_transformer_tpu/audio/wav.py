@@ -17,7 +17,17 @@ import numpy as np
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a PCM wav file -> (float32 mono signal in [-1, 1], sample_rate)."""
-    with wave.open(path, "rb") as w:
+    with open(path, "rb") as f:
+        return read_wav_bytes(f.read())
+
+
+def read_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode in-memory PCM wav bytes (same contract as :func:`read_wav`;
+    used by the HTTP serving front-end, which receives wavs as request
+    bodies rather than paths)."""
+    import io
+
+    with wave.open(io.BytesIO(data), "rb") as w:
         n_frames = w.getnframes()
         n_channels = w.getnchannels()
         rate = w.getframerate()

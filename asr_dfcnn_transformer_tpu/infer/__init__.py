@@ -7,6 +7,9 @@ from asr_dfcnn_transformer_tpu.infer.export_serving import (  # noqa: F401
     export_pipeline,
     load_artifact,
 )
+from asr_dfcnn_transformer_tpu.infer.http_server import (  # noqa: F401
+    HTTPRecognitionServer,
+)
 from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline, EvalResult  # noqa: F401
 from asr_dfcnn_transformer_tpu.infer.serving import BatchingServer, ServerStats  # noqa: F401
 from asr_dfcnn_transformer_tpu.infer.stream_pool import StreamPool  # noqa: F401

@@ -13,8 +13,9 @@ replacing ``lm_and_am/train.py`` (AM+LM), ``train_atten.py``
 (CTC-attention), ``end2end/model.py`` (speech transformer), ``test.py``
 (pipeline eval) and ``read_wav.py`` (single-file/streaming inference).
 Beyond the reference's surface: ``export`` (weights back to the TF1/hdf5
-formats), ``export-serving`` (one-file jax.export serving artifact) and
-``infer-artifact`` (recognition from that artifact alone).
+formats), ``export-serving`` (one-file jax.export serving artifact),
+``infer-artifact`` (recognition from that artifact alone) and ``serve``
+(micro-batched HTTP recognition endpoint, live or artifact-backed).
 Unlike the reference's argparse-at-import classes (hparams.py:34,53,72,91)
 flags are parsed once here into the dataclass config tree.
 
@@ -36,8 +37,9 @@ def _build_parser():
     p = argparse.ArgumentParser(prog="asr-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp):
-        sp.add_argument("--workdir", required=True)
+    def common(sp, workdir_required=True):
+        sp.add_argument("--workdir", required=workdir_required,
+                        default=None)
         sp.add_argument("--data-dir", default=None)
         sp.add_argument("--speech-root", default=None)
         sp.add_argument("--noise-root", default="")
@@ -214,6 +216,32 @@ def _build_parser():
     sp.add_argument("--artifact", required=True, help=".asrx path")
     sp.add_argument("--wav", required=True)
     sp.add_argument("--platform", default=None)
+
+    sp = sub.add_parser(
+        "serve",
+        help="HTTP recognition endpoint (infer/http_server.py): POST a "
+             "PCM wav to /v1/recognize. Backed by the micro-batching "
+             "BatchingServer over a live workdir pipeline, or by an AOT "
+             "serving artifact (--artifact; no checkpoints needed)")
+    common(sp, workdir_required=False)
+    sp.add_argument("--artifact", default=None,
+                    help="serve a .asrx artifact instead of workdir "
+                         "checkpoints")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8000,
+                    help="0 = pick a free port (printed on startup)")
+    sp.add_argument("--model", default="se_dfcnn",
+                    choices=["dfcnn", "se_dfcnn", "se_dfcnn_pre",
+                             "se_dfcnn_fast", "keras_dfcnn", "bigru"])
+    sp.add_argument("--decode", default="greedy",
+                    choices=["greedy", "beam"])
+    sp.add_argument("--beam-width", type=int, default=8)
+    sp.add_argument("--max-batch", type=int, default=16,
+                    help="rows per coalesced device batch (live backend)")
+    sp.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="batching window after the first pending request")
+    sp.add_argument("--max-requests", type=int, default=None,
+                    help="exit after N recognitions (smoke tests)")
     return p
 
 
@@ -851,20 +879,60 @@ def cmd_infer_artifact(args):
             print("汉字:", hanzi)              # no hanzi stage at all
 
 
+def cmd_serve(args):
+    """HTTP recognition endpoint over a live pipeline (micro-batched) or
+    an AOT serving artifact — the network-serving surface the reference's
+    read_wav.py loop never had."""
+    import time
+
+    from asr_dfcnn_transformer_tpu.infer.http_server import (
+        HTTPRecognitionServer)
+    if args.artifact:
+        from asr_dfcnn_transformer_tpu.infer.export_serving import (
+            load_artifact)
+        backend = load_artifact(args.artifact)
+        bounds = (400, 800, 1200, 1600)
+    else:
+        if not args.workdir:
+            raise SystemExit(
+                "serve: pass --workdir (live checkpoints) or --artifact")
+        backend, _, _ = _load_pipeline(args, args.decode, args.beam_width)
+        bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
+    srv = HTTPRecognitionServer(backend, host=args.host, port=args.port,
+                                max_batch=args.max_batch,
+                                max_wait_ms=args.max_wait_ms,
+                                bucket_bounds=bounds)
+    print(f"serving on http://{args.host}:{srv.port} "
+          f"(backend: {srv._backend.kind})", flush=True)
+    if args.max_requests:
+        srv.start()
+        while srv.requests_served < args.max_requests:
+            time.sleep(0.05)
+        srv.close()
+        return
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+
+
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     _setup_platform(args)
     # read-only commands must not run _apply_config: it snapshots the
     # resolved config over <workdir>/config.json, clobbering the record
-    # written at training time
-    if args.cmd not in ("export", "export-serving", "infer-artifact"):
+    # written at training time (and artifact-mode serve has no workdir)
+    if args.cmd not in ("export", "export-serving", "infer-artifact") \
+            and getattr(args, "workdir", None):
         _apply_config(args)
     {"am": cmd_am, "lm": cmd_lm, "atten": cmd_atten, "e2e": cmd_e2e,
      "joint": cmd_joint, "eval": cmd_eval, "eval-lm": cmd_eval_lm,
      "eval-e2e": cmd_eval_e2e, "eval-atten": cmd_eval_atten,
      "infer": cmd_infer, "export": cmd_export,
      "export-serving": cmd_export_serving,
-     "infer-artifact": cmd_infer_artifact}[args.cmd](args)
+     "infer-artifact": cmd_infer_artifact, "serve": cmd_serve}[args.cmd](args)
 
 
 if __name__ == "__main__":
