@@ -67,6 +67,49 @@ print(f"DIST_OK {pid} {loss:.6f}")
 """
 
 
+_WORKER_TP = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+pid = int(sys.argv[1])
+jax.distributed.initialize(sys.argv[2], num_processes=2, process_id=pid,
+                           local_device_ids=[0, 1])
+assert jax.process_count() == 2 and jax.device_count() == 4
+import numpy as np, jax.numpy as jnp
+from asr_dfcnn_transformer_tpu import models
+from asr_dfcnn_transformer_tpu.data.loader import LMBatch
+from asr_dfcnn_transformer_tpu.parallel import make_mesh, param_shardings
+from asr_dfcnn_transformer_tpu.train import LMTrainer
+
+# (data=2, model=2) over [p0d0, p0d1, p1d0, p1d1]: the model (TP) axis
+# stays inside each process, the data (DP) axis crosses processes — the
+# standard pod layout (TP over ICI, DP over DCN)
+mesh = make_mesh(2, 2)
+lm = models.TransformerLM(input_vocab_size=64, output_vocab_size=128,
+                          d_model=64, num_heads=4, num_blocks=2,
+                          dropout_rate=0.0, parity_attention=False,
+                          dtype=jnp.float32)
+lt = LMTrainer(lm, sys.argv[3], mesh=mesh)
+b = 4
+lb = LMBatch(pinyin=np.tile(np.array([[3, 4, 5, 6, 0, 0, 0, 0]], np.int32),
+                            (b, 1)),
+             hanzi=np.tile(np.array([[7, 8, 9, 10, 0, 0, 0, 0]], np.int32),
+                           (b, 1)),
+             lengths=np.full((b,), 4, np.int32),
+             weights=np.ones((b,), np.float32))
+lt.restore_or_init(lambda: lt.init_state(jax.random.PRNGKey(0), lb))
+shardings = param_shardings(mesh, lt.state.params, tensor_parallel=True)
+lt.state = lt.state.replace(
+    params=jax.device_put(lt.state.params, shardings),
+    opt_state=lt.tx.init(jax.device_put(lt.state.params, shardings)))
+m = lt.train_step(lb, jax.random.PRNGKey(1))
+loss = float(m["loss"])
+assert np.isfinite(loss)
+print(f"DIST_TP_OK {pid} {loss:.6f}")
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -95,5 +138,34 @@ def test_two_process_distributed_train_step(tmp_path):
         assert int(tok[1]) == pid
         losses.append(float(tok[2]))
     # both processes agree on the globally reduced loss
+    assert losses[0] == losses[1]
+    assert np.isfinite(losses[0])
+
+
+def test_two_process_four_device_dp_tp_lm_step(tmp_path):
+    """2 processes x 2 local CPU devices = a 4-device (data=2, model=2)
+    mesh: Megatron tensor parallelism inside each process, data
+    parallelism (gradient psum over gloo) across processes — the pod
+    topology (TP over ICI, DP across hosts) in miniature."""
+    addr = f"localhost:{_free_port()}"
+    env = dict(os.environ, PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    wd = str(tmp_path / "dist_tp")
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER_TP, str(pid), addr, wd],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(tmp_path)) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(out)
+    losses = []
+    for pid, out in enumerate(outs):
+        line = [l for l in out.splitlines()
+                if l.startswith("DIST_TP_OK")][0]
+        tok = line.split()
+        assert int(tok[1]) == pid
+        losses.append(float(tok[2]))
     assert losses[0] == losses[1]
     assert np.isfinite(losses[0])
