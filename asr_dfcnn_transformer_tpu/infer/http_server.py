@@ -22,7 +22,25 @@ Endpoints
   ``{"pinyin": [...], "hanzi": "...", "seconds": ...}`` (e2e artifacts
   have no pinyin stage and return hanzi only).
 - ``GET /healthz`` — liveness + backend kind.
-- ``GET /v1/stats`` — request/batch/occupancy counters.
+- ``GET /v1/stats`` — request/batch/occupancy counters (plus stream
+  session counters when streaming is enabled).
+
+Streaming (live backend only, enabled with ``streams > 0`` /
+``serve --streams N``; backed by :class:`~.stream_sessions.
+StreamSessionManager` over a batched :class:`~.stream_pool.StreamPool`,
+so N concurrent streams share one device program per stage):
+
+- ``POST /v1/stream`` — open a stream; ``{"stream": "<token>"}``.
+  503 when all slots are busy.
+- ``POST /v1/stream/<token>`` — push one chunk of raw little-endian
+  float32 mono samples; returns the current partial hypothesis
+  ``{"pinyin": [...], "hanzi": "...", "final": false}``. Add
+  ``?partial=0`` to skip the hypothesis refresh (``{"ok": true}``) —
+  cheaper when pushing faster than the UI reads.
+- ``POST /v1/stream/<token>/finish`` — optional trailing chunk body;
+  flushes the tail, frees the slot, returns the final hypothesis with
+  ``"final": true``.
+- ``DELETE /v1/stream/<token>`` — abort without decoding the tail.
 
 Threading: handler threads block on the batching future; JAX dispatch
 stays on the BatchingServer's single dispatcher thread (live) or under a
@@ -113,17 +131,33 @@ class HTTPRecognitionServer:
       sample_rate: expected input rate; wav bodies with a different rate
         are rejected 400 (the fbank front-end is rate-specific,
         wav_util.py:22-31 assumes 16 kHz).
+      streams: max concurrent streaming sessions (0 disables the
+        ``/v1/stream`` routes). Live backend only.
+      stream_kw: forwarded to :class:`StreamSessionManager` (decode,
+        beam_width, idle_timeout_s, chunk_logits, ...).
     """
 
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
                  bucket_bounds: Sequence[int] = (400, 800, 1200, 1600),
-                 sample_rate: int = 16000):
+                 sample_rate: int = 16000, streams: int = 0,
+                 stream_kw: Optional[dict] = None):
         from asr_dfcnn_transformer_tpu.infer.pipeline import Pipeline
+        self._streams: Optional["StreamSessionManager"] = None
         if isinstance(backend, Pipeline):
             self._backend = _LiveBackend(backend, max_batch, max_wait_ms,
                                          bucket_bounds)
+            if streams > 0:
+                from asr_dfcnn_transformer_tpu.infer.stream_sessions \
+                    import StreamSessionManager
+                self._streams = StreamSessionManager(
+                    backend, n_slots=streams, sample_rate=sample_rate,
+                    **(stream_kw or {}))
         else:
+            if streams > 0:
+                raise ValueError("streaming requires a live Pipeline "
+                                 "backend (artifacts serve whole "
+                                 "utterances)")
             self._backend = _ArtifactBackend(backend)
         self.sample_rate = sample_rate
         self._requests_served = 0
@@ -149,14 +183,110 @@ class HTTPRecognitionServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, {"status": "ok",
-                                      "backend": server._backend.kind})
+                                      "backend": server._backend.kind,
+                                      "streaming": server._streams
+                                      is not None})
                 elif self.path == "/v1/stats":
-                    self._reply(200, server._backend.stats())
+                    out = server._backend.stats()
+                    if server._streams is not None:
+                        out["streams"] = server._streams.stats()
+                    self._reply(200, out)
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
+            def _read_body(self) -> Optional[bytes]:
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    length = 0
+                if length < 0 or length > _MAX_BODY:
+                    self._reply(400, {"error": "missing or oversized "
+                                               "body"})
+                    return None
+                return self.rfile.read(length) if length else b""
+
+            def _stream_chunk(self, body: bytes) -> Optional[np.ndarray]:
+                """Stream-push bodies are ALWAYS raw <f4 samples — a wav
+                container makes no sense mid-stream."""
+                if len(body) % 4:
+                    self._reply(400, {"error": "stream chunks are raw "
+                                               "little-endian float32 "
+                                               "samples"})
+                    return None
+                return np.frombuffer(body, dtype="<f4").astype(np.float32)
+
+            def _do_stream(self, parts: list):
+                mgr = server._streams
+                if mgr is None:
+                    self._reply(404, {"error": "streaming disabled; "
+                                               "start with streams > 0"})
+                    return
+                body = self._read_body()
+                if body is None:
+                    return
+                try:
+                    if not parts:                      # POST /v1/stream
+                        if body:
+                            self._reply(400, {"error": "open takes no "
+                                                       "body"})
+                            return
+                        self._reply(200, {"stream": mgr.open()})
+                        return
+                    token = parts[0]
+                    if len(parts) == 1:                # .../<token>
+                        chunk = self._stream_chunk(body)
+                        if chunk is None:
+                            return
+                        want = "partial=0" not in (self.path.split("?", 1)
+                                                   + [""])[1]
+                        hyp = mgr.push(token, chunk, want_partial=want)
+                        if hyp is None:
+                            self._reply(200, {"ok": True})
+                        else:
+                            self._reply(200, {"pinyin": hyp[0],
+                                              "hanzi": hyp[1],
+                                              "final": False})
+                        return
+                    if len(parts) == 2 and parts[1] == "finish":
+                        tail = self._stream_chunk(body) if body else None
+                        if body and tail is None:
+                            return
+                        pny, han = mgr.finish(token, tail)
+                        self._reply(200, {"pinyin": pny, "hanzi": han,
+                                          "final": True})
+                        return
+                    self._reply(404, {"error": f"no route {self.path}"})
+                except KeyError as e:
+                    self._reply(404, {"error": str(e.args[0]) if e.args
+                                      else "unknown stream"})
+                except RuntimeError as e:   # all slots busy / closed
+                    self._reply(503, {"error": str(e)})
+                except ValueError as e:     # over max_stream_seconds
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:
+                    self._reply(500, {"error": f"{type(e).__name__}: "
+                                               f"{e}"})
+
+            def do_DELETE(self):
+                path = self.path.split("?", 1)[0]
+                parts = [p for p in path.split("/") if p]
+                if (len(parts) == 3 and parts[:2] == ["v1", "stream"]
+                        and server._streams is not None):
+                    try:
+                        server._streams.abort(parts[2])
+                        self._reply(200, {"ok": True})
+                    except KeyError as e:
+                        self._reply(404, {"error": str(e.args[0])})
+                    return
+                self._reply(404, {"error": f"no route {self.path}"})
+
             def do_POST(self):
-                if self.path != "/v1/recognize":
+                path = self.path.split("?", 1)[0]
+                if path == "/v1/stream" or path.startswith("/v1/stream/"):
+                    parts = [p for p in path.split("/") if p][2:]
+                    self._do_stream(parts)
+                    return
+                if path != "/v1/recognize":
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -230,6 +360,8 @@ class HTTPRecognitionServer:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        if self._streams is not None:
+            self._streams.close()
         self._backend.close()
 
     def __enter__(self):

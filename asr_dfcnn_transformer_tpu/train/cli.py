@@ -242,6 +242,13 @@ def _build_parser():
                     help="batching window after the first pending request")
     sp.add_argument("--max-requests", type=int, default=None,
                     help="exit after N recognitions (smoke tests)")
+    sp.add_argument("--streams", type=int, default=0,
+                    help="max concurrent /v1/stream sessions (StreamPool-"
+                         "batched incremental recognition; 0 = disabled; "
+                         "live backend only)")
+    sp.add_argument("--stream-idle-timeout", type=float, default=600.0,
+                    help="seconds of inactivity before a stream's slot "
+                         "is reclaimed")
     return p
 
 
@@ -898,12 +905,18 @@ def cmd_serve(args):
                 "serve: pass --workdir (live checkpoints) or --artifact")
         backend, _, _ = _load_pipeline(args, args.decode, args.beam_width)
         bounds = (128,) if args.synthetic else (400, 800, 1200, 1600)
-    srv = HTTPRecognitionServer(backend, host=args.host, port=args.port,
-                                max_batch=args.max_batch,
-                                max_wait_ms=args.max_wait_ms,
-                                bucket_bounds=bounds)
+    if args.streams and args.artifact:
+        raise SystemExit("serve: --streams needs a live --workdir backend")
+    srv = HTTPRecognitionServer(
+        backend, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        bucket_bounds=bounds, streams=args.streams,
+        stream_kw={"idle_timeout_s": args.stream_idle_timeout}
+        if args.streams else None)
     print(f"serving on http://{args.host}:{srv.port} "
-          f"(backend: {srv._backend.kind})", flush=True)
+          f"(backend: {srv._backend.kind}"
+          + (f", {args.streams} stream slots" if args.streams else "")
+          + ")", flush=True)
     if args.max_requests:
         srv.start()
         while srv.requests_served < args.max_requests:

@@ -141,7 +141,8 @@ def test_http_concurrent_requests_coalesce(setup):
 def test_http_health_and_stats(setup):
     _, _, srv = setup
     status, out = _get(srv.port, "/healthz")
-    assert status == 200 and out == {"status": "ok", "backend": "live"}
+    assert status == 200 and out == {"status": "ok", "backend": "live",
+                                     "streaming": False}
     status, out = _get(srv.port, "/v1/stats")
     assert status == 200 and out["requests"] >= 1
     assert 0 < out["mean_occupancy"] <= 1
@@ -188,3 +189,132 @@ def test_cli_serve_requires_workdir_or_artifact():
     from asr_dfcnn_transformer_tpu.train import cli
     with pytest.raises(SystemExit):
         cli.main(["serve", "--max-requests", "1"])
+
+
+def _delete(port: int, path: str):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("DELETE", path)
+    r = conn.getresponse()
+    out = r.status, json.loads(r.read().decode())
+    conn.close()
+    return out
+
+
+def test_http_streaming_roundtrip(setup):
+    """Open a stream, push raw-f32 chunks over HTTP, finish — the final
+    hypothesis must equal the single-stream incremental engine's."""
+    from asr_dfcnn_transformer_tpu.infer.streaming import (
+        IncrementalRecognizer,
+    )
+    pipe, signals, _ = setup
+    sig = signals[0]
+    cut = len(sig) // 2
+    chunks = [sig[:cut], sig[cut:]]
+    rec = IncrementalRecognizer(pipe, cmvn="running")
+    for c in chunks:
+        rec.push(c)
+    want = rec.finalize()
+
+    srv = HTTPRecognitionServer(pipe, port=0, streams=2)
+    with srv:
+        status, out = _post(srv.port, "/v1/stream", b"",
+                            ctype="application/octet-stream")
+        assert status == 200 and "stream" in out
+        tok = out["stream"]
+        status, out = _post(srv.port, f"/v1/stream/{tok}?partial=0",
+                            chunks[0].astype("<f4").tobytes(),
+                            ctype="application/octet-stream")
+        assert status == 200 and out == {"ok": True}
+        status, out = _post(srv.port, f"/v1/stream/{tok}",
+                            chunks[1].astype("<f4").tobytes(),
+                            ctype="application/octet-stream")
+        assert status == 200 and out["final"] is False
+        assert isinstance(out["pinyin"], list)
+        status, out = _post(srv.port, f"/v1/stream/{tok}/finish", b"",
+                            ctype="application/octet-stream")
+        assert status == 200 and out["final"] is True
+        assert (out["pinyin"], out["hanzi"]) == want
+        # token is gone after finish
+        status, out = _post(srv.port, f"/v1/stream/{tok}",
+                            chunks[0].astype("<f4").tobytes(),
+                            ctype="application/octet-stream")
+        assert status == 404
+        status, out = _get(srv.port, "/v1/stats")
+        assert out["streams"]["finished"] == 1
+        status, out = _get(srv.port, "/healthz")
+        assert out["streaming"] is True
+
+
+def test_http_streaming_finish_with_tail_and_abort(setup):
+    pipe, signals, _ = setup
+    sig = signals[1]
+    cut = len(sig) * 2 // 3
+    srv = HTTPRecognitionServer(pipe, port=0, streams=2)
+    with srv:
+        # finish with a trailing chunk in the finish body
+        _, out = _post(srv.port, "/v1/stream", b"")
+        tok = out["stream"]
+        _post(srv.port, f"/v1/stream/{tok}?partial=0",
+              sig[:cut].astype("<f4").tobytes(),
+              ctype="application/octet-stream")
+        status, via_tail = _post(srv.port, f"/v1/stream/{tok}/finish",
+                                 sig[cut:].astype("<f4").tobytes(),
+                                 ctype="application/octet-stream")
+        assert status == 200 and via_tail["final"] is True
+
+        _, out = _post(srv.port, "/v1/stream", b"")
+        tok2 = out["stream"]
+        _post(srv.port, f"/v1/stream/{tok2}?partial=0",
+              sig[:cut].astype("<f4").tobytes(),
+              ctype="application/octet-stream")
+        _post(srv.port, f"/v1/stream/{tok2}?partial=0",
+              sig[cut:].astype("<f4").tobytes(),
+              ctype="application/octet-stream")
+        status, via_push = _post(srv.port, f"/v1/stream/{tok2}/finish",
+                                 b"")
+        assert status == 200
+        assert (via_push["pinyin"], via_push["hanzi"]) == \
+            (via_tail["pinyin"], via_tail["hanzi"])
+
+        # abort frees the slot and invalidates the token
+        _, out = _post(srv.port, "/v1/stream", b"")
+        tok3 = out["stream"]
+        status, out = _delete(srv.port, f"/v1/stream/{tok3}")
+        assert status == 200 and out == {"ok": True}
+        status, out = _delete(srv.port, f"/v1/stream/{tok3}")
+        assert status == 404
+
+
+def test_http_streaming_errors(setup):
+    pipe, signals, srv0 = setup
+    # the module fixture server has streaming disabled
+    status, out = _post(srv0.port, "/v1/stream", b"")
+    assert status == 404 and "disabled" in out["error"]
+
+    srv = HTTPRecognitionServer(pipe, port=0, streams=1)
+    with srv:
+        status, out = _post(srv.port, "/v1/stream/unknowntoken",
+                            np.zeros(100, "<f4").tobytes(),
+                            ctype="application/octet-stream")
+        assert status == 404
+        # misaligned body is not float32 samples
+        _, out = _post(srv.port, "/v1/stream", b"")
+        tok = out["stream"]
+        status, out = _post(srv.port, f"/v1/stream/{tok}", b"abc",
+                            ctype="application/octet-stream")
+        assert status == 400
+        # slot exhaustion -> 503
+        status, out = _post(srv.port, "/v1/stream", b"")
+        assert status == 503
+        # open with a body is a client error
+        status, out = _post(srv.port, "/v1/stream", b"\x00" * 8)
+        assert status == 400
+
+
+def test_http_streaming_requires_live_backend():
+    class StubServed:
+        def recognize_signal(self, sig):
+            return ["a1"], "a"
+
+    with pytest.raises(ValueError, match="live Pipeline"):
+        HTTPRecognitionServer(StubServed(), port=0, streams=2)
