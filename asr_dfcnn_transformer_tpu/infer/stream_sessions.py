@@ -146,10 +146,16 @@ class StreamSessionManager:
 
     def close(self, timeout: float = 30.0) -> None:
         """Abort every active stream and stop the dispatcher."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
+            # set-then-put under the same lock _submit enqueues under:
+            # every op that passed _submit's closed check sits BEFORE the
+            # None sentinel in the FIFO queue, so the dispatcher resolves
+            # it before exiting — no caller can be left waiting forever
             self._closed = True
             self._queue.put(None)
-            self._thread.join(timeout)
+        self._thread.join(timeout)
 
     def __enter__(self):
         return self
@@ -158,9 +164,10 @@ class StreamSessionManager:
         self.close()
 
     def _submit(self, op: _Op, timeout: Optional[float]):
-        if self._closed:
-            raise RuntimeError("session manager is closed")
-        self._queue.put(op)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("session manager is closed")
+            self._queue.put(op)
         return op.future.result(timeout)
 
     # ---- dispatcher (owns the pool and all JAX dispatch) -----------------
@@ -208,7 +215,17 @@ class StreamSessionManager:
                 self._execute(pool, pending)
                 pending = []
             self._sweep(pool)
-        # shutdown: release everything
+        # shutdown: release everything; fail any op that slipped into the
+        # queue anyway (belt and braces — close()'s lock ordering should
+        # make this unreachable)
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.future.done():
+                item.future.set_exception(
+                    RuntimeError("session manager is closed"))
         with self._lock:
             tokens = list(self._sessions)
             for tok in tokens:
@@ -268,6 +285,18 @@ class StreamSessionManager:
                 pushes.append((op, sess))
             elif op.kind == "finish":
                 if op.chunk is not None and op.chunk.size:
+                    # the tail is audio like any push — same cap, same
+                    # recovery (the stream stays open: retry finish
+                    # without the tail, or abort)
+                    if (sess.samples + op.chunk.size
+                            > self.max_stream_samples):
+                        with self._lock:
+                            self._counters["rejected"] += 1
+                        op.future.set_exception(ValueError(
+                            "finish tail exceeds max_stream_seconds ("
+                            f"{self.max_stream_samples / self.sample_rate:.0f}"
+                            "s); finish without the tail or abort"))
+                        continue
                     sess.samples += op.chunk.size
                 finishes.append((op, op.token, sess))
             else:  # pragma: no cover - _Op kinds are internal

@@ -134,6 +134,10 @@ def test_max_stream_seconds_rejects(pipeline):
             mgr.push(tok, np.zeros(1600, np.float32))
         # the stream survives a rejected push and can still finish
         mgr.push(tok, np.zeros(400, np.float32), want_partial=False)
+        # the finish tail counts against the same cap as pushes...
+        with pytest.raises(ValueError, match="max_stream_seconds"):
+            mgr.finish(tok, tail=np.zeros(1600, np.float32))
+        # ...and a rejected tail leaves the stream open for a plain finish
         mgr.finish(tok)
 
 
