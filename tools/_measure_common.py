@@ -22,12 +22,33 @@ import json
 import os
 import subprocess
 import sys
+import time
 from pathlib import Path
+from typing import Optional
 
 
-def setup_device(cpu: bool, *, probe_timeout: float = 180.0) -> None:
+def _probe_once(probe_timeout: float) -> bool:
+    code = ("import jax, jax.numpy as jnp;"
+            "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=probe_timeout,
+                           capture_output=True, text=True)
+        return "PROBE 16384.0" in (r.stdout or "")
+    except Exception:  # noqa: BLE001 — timeout or spawn failure
+        return False
+
+
+def setup_device(cpu: bool, *, probe_timeout: float = 180.0,
+                 probe_wait: Optional[float] = None) -> None:
     """Pin/probe/cache, then print the device line. Exits(1) with a JSON
-    error line when the tunnel is unreachable (and ``cpu`` is False)."""
+    error line when the tunnel is unreachable (and ``cpu`` is False).
+
+    ``probe_wait`` (or env ``ASR_TPU_PROBE_WAIT``, seconds) keeps
+    re-probing a dead tunnel until the deadline instead of failing on
+    the first miss — the tunnel's observed outages flap on a scale of
+    minutes-to-hours, so a tool launched during one can arm itself and
+    measure the moment the backend returns (bench.py's model)."""
     import jax
 
     if cpu:
@@ -41,17 +62,15 @@ def setup_device(cpu: bool, *, probe_timeout: float = 180.0) -> None:
     except Exception:
         pass
     if not cpu:
-        code = ("import jax, jax.numpy as jnp;"
-                "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               timeout=probe_timeout,
-                               capture_output=True, text=True)
-            ok = "PROBE 16384.0" in (r.stdout or "")
-        except Exception:  # noqa: BLE001 — timeout or spawn failure
-            ok = False
-        if not ok:
-            print(json.dumps({"error": "TPU tunnel unreachable; "
-                              "not dispatching"}))
-            sys.exit(1)
+        if probe_wait is None:
+            probe_wait = float(os.environ.get("ASR_TPU_PROBE_WAIT", "0"))
+        deadline = time.monotonic() + max(probe_wait, 0.0)
+        while not _probe_once(probe_timeout):
+            if time.monotonic() >= deadline:
+                print(json.dumps({"error": "TPU tunnel unreachable; "
+                                  "not dispatching"}))
+                sys.exit(1)
+            print(json.dumps({"probe": "tunnel down; retrying"}),
+                  file=sys.stderr, flush=True)
+            time.sleep(30.0)
     print(json.dumps({"device": jax.devices()[0].device_kind}), flush=True)
