@@ -12,7 +12,17 @@ carries one entry per benchmark config (BASELINE.json "configs"):
                            (fbank+fwd+CTC+grads+Adam), batch 64;
      train_step_lm / train_step_e2e — LM (batch 64) and end-to-end
                            speech-Transformer (batch 8) training steps
-  plus am_lm_fast_b128   — the space-to-depth AM pipeline variant.
+  plus am_lm_fast_b128   — the space-to-depth AM pipeline variant,
+  and e2e_{greedy,beam3}_b{8,32} — absolute KV-cached autoregressive
+                           decode numbers for the speech Transformer.
+
+Ledger semantics (round-4 postmortem): BENCH_FULL.json is never erased.
+Every run seeds its record from the prior file with each entry stamped
+{"stale": true} (original "run" kept); freshly-measured configs
+overwrite their slot with a new "run" stamp, and the emitted line
+reports {"fresh": N, "stale": M} coverage — so a run killed mid-suite
+leaves a complete record (part fresh, part explicitly stale) instead of
+destroying the previous round's numbers.
 
 All utterances are WORST-CASE full 1600-frame (16 s) inputs at reference
 geometry (200-dim fbank, acoustic vocab 1536, hanzi vocab 6345, LM
@@ -81,7 +91,9 @@ def _sanitize(obj):
 
 def _compact_suite(suite):
     """Per-config summary small enough for the single stdout line; the
-    full per-config detail lives in BENCH_FULL.json."""
+    full per-config detail lives in BENCH_FULL.json. Stale entries (see
+    _load_prior_suite) keep their primary number plus the stale marker so
+    a partial run's emit still states full-suite coverage honestly."""
     comp = {}
     for name, r in suite.items():
         if "error" in r:
@@ -92,32 +104,72 @@ def _compact_suite(suite):
                   "pct_of_roof"):
             if r.get(k) is not None:
                 e[k] = r[k]
+        if r.get("stale"):
+            e["stale"] = True
         comp[name] = e
     return comp
 
 
-def _load_prior_suite(full_path, only):
-    """A targeted --only re-measure must UPDATE the on-disk full-suite
-    record, not replace it with a one-config file (which once erased the
-    round's full ledger and broke the unreachable-note citation). Full
-    runs (only=None) start fresh so the record is always one run's
-    numbers."""
-    if only is None:
-        return {}
+def _current_run():
+    """Round number for stamping fresh results: one past the highest
+    driver-recorded ``BENCH_r{N}.json`` (the driver writes that file at
+    the END of round N, so while round N runs only 1..N-1 exist)."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = [int(m.group(1)) for p in glob.glob(
+        os.path.join(here, "BENCH_r*.json"))
+        for m in [re.search(r"BENCH_r(\d+)\.json$", p)] if m]
+    return (max(runs) + 1) if runs else 1
+
+
+def _load_prior_suite(full_path):
+    """Seed this run's record from the previous one, every prior entry
+    stamped ``{"stale": true}`` (its original ``"run"`` stamp kept).
+
+    Round-4 postmortem: a FULL run used to start the on-disk record
+    fresh, so when the deadline watchdog killed the suite at 3/14
+    configs the partial file *replaced* the complete round-3 record —
+    most of round 4's perf wins survived only as prose. Now every run
+    (full or --only) updates slots in place: fresh configs overwrite
+    their stale seed, and the emitted line reports fresh-vs-stale
+    coverage so a partial run can never masquerade as a full one."""
     try:
         with open(full_path) as f:
-            return json.load(f)["suite"]
+            rec = json.load(f)
+        out = {}
+        for name, e in rec.get("suite", {}).items():
+            if isinstance(e, dict):
+                e = dict(e)
+                if "run" not in e and rec.get("run") is not None:
+                    e["run"] = rec["run"]
+                e["stale"] = True
+                out[name] = e
+        return out
     except Exception:  # noqa: BLE001 — no/invalid prior file is fine
         return {}
 
 
-def _write_full_record(full_path, device, batch, suite, prior_suite=None):
+def _write_full_record(full_path, device, batch, suite, prior_suite=None,
+                       run=None):
     """Write the full per-config record, freshly-run configs taking
-    precedence over any prior (--only-preserved) entries."""
+    precedence over the stale-stamped prior entries."""
+    rec = {"device": device, "batch": batch,
+           "suite": {**(prior_suite or {}), **suite}}
+    if run is not None:
+        rec["run"] = run
     with open(full_path, "w") as f:
-        json.dump(_sanitize({"device": device, "batch": batch,
-                             "suite": {**(prior_suite or {}), **suite}}),
-                  f, indent=1, allow_nan=False)
+        json.dump(_sanitize(rec), f, indent=1, allow_nan=False)
+
+
+def _coverage(merged):
+    """(fresh, stale, error) config counts for the emit line."""
+    fresh = sum(1 for e in merged.values()
+                if not e.get("stale") and "error" not in e)
+    stale = sum(1 for e in merged.values() if e.get("stale"))
+    errs = sum(1 for e in merged.values()
+               if "error" in e and not e.get("stale"))
+    return fresh, stale, errs
 
 
 def _strict_line(record):
@@ -308,6 +360,16 @@ def _roofline(dt, cost, min_bytes=0):
         out["bound"] = "compute" if t_compute >= t_hbm else "hbm"
         out["roof_ms"] = round(1000.0 * max(t_compute, t_hbm), 3)
         out["pct_of_roof"] = round(100.0 * max(t_compute, t_hbm) / dt, 1)
+        if out["pct_of_roof"] > 100.0:
+            # by construction this can't happen (both roof inputs are
+            # lower bounds) — if it does, the MEASUREMENT is suspect
+            # (e.g. slope noise on a sub-100us program), so flag the
+            # config instead of shipping an impossible number silently
+            # (VERDICT r3 #2 / r4 weak-2: streaming_chunk once read
+            # 181% of roof)
+            out["roof_note"] = ("pct_of_roof > 100: timing below the "
+                                "physical roof is impossible; treat this "
+                                "config's dt as unreliable")
     return out
 
 
@@ -700,6 +762,50 @@ def bench_train_e2e(m, batch=8, steps=60):
             **roof}
 
 
+def bench_e2e_decode(batch=8, mode="greedy", frames=FRAMES, max_len=64,
+                     iters=20):
+    """Absolute end-to-end speech-Transformer decode numbers (VERDICT r4
+    next-3 #4): encoder + KV-cached autoregressive decode to 64-token
+    targets, utt/s and ms/utterance — the path that finishes the
+    reference's stub (end2end/model.py:331-337). Previously recorded only
+    relative to full recompute (3.2x greedy / 2.6x beam-3, DESIGN §9).
+
+    Input is the e2e feature tensor ([B, 1600, 80] fbank at reference
+    geometry, 16 s utterances); fbank extraction cost is benchmarked
+    separately (streaming_chunk / am_lm configs) and is negligible next
+    to 64 sequential decoder steps."""
+    import jax
+    import jax.numpy as jnp
+    from asr_dfcnn_transformer_tpu import models
+
+    model = models.SpeechTransformer(vocab_size=6347)
+    rs = np.random.default_rng(_SALT)
+    feats = jax.device_put(
+        (0.1 * rs.standard_normal((batch, frames, 80, 1))).astype(
+            np.float32))
+    lens = jnp.full((batch,), frames, jnp.int32)
+    dec0 = jnp.ones((batch, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, lens, dec0,
+                        train=False)
+
+    if mode == "greedy":
+        def body(z, i):
+            return models.greedy_decode_cached(model, params, z, lens,
+                                               max_len=max_len)
+    else:
+        def body(z, i):
+            return models.beam_decode_cached(model, params, z, lens,
+                                             beam_size=3, max_len=max_len)
+
+    dt, roof = _scan_time(body, feats, iters=iters,
+                          min_bytes=_tree_bytes(params) + feats.nbytes)
+    return {"ms_per_batch": round(1000 * dt, 2), "batch": batch,
+            "mode": mode, "max_len": max_len,
+            "ms_per_utt": round(1000 * dt / batch, 3),
+            "utts_per_sec": round(batch / dt, 2),
+            "rtfx": round(UTT_SECONDS * batch / dt, 1), **roof}
+
+
 def main():
     import jax
 
@@ -760,6 +866,12 @@ def main():
         # the model can actually do (VERDICT r3 #4)
         ("train_step_e2e_b64", lambda: bench_train_e2e(models["m"],
                                                        batch=64, steps=20)),
+        # absolute e2e AR-decode numbers (VERDICT r4 #4): reference
+        # cadence batch 8 + saturating batch 32, greedy and beam-3
+        ("e2e_greedy_b8", lambda: bench_e2e_decode(8, "greedy")),
+        ("e2e_beam3_b8", lambda: bench_e2e_decode(8, "beam", iters=10)),
+        ("e2e_greedy_b32", lambda: bench_e2e_decode(32, "greedy")),
+        ("e2e_beam3_b32", lambda: bench_e2e_decode(32, "beam", iters=10)),
     ]
     if only is not None and only not in {n for n, _ in suite_configs}:
         print(f"unknown --only {only!r}; valid names: "
@@ -813,6 +925,15 @@ def main():
     dev_info = {"device": "unknown"}
     suite = {}
     guard = _EmitOnce()
+    run_id = _current_run()
+    # CPU mode is harness smoke-testing only (CLAUDE.md): its numbers
+    # must never land in the TPU ledger file the judge/driver read
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_FULL_CPU.json" if cpu_mode else "BENCH_FULL.json")
+    # loaded BEFORE the probe loop so even the unreachable-tunnel and
+    # watchdog emits can state full-suite coverage (stale entries marked)
+    prior_suite = _load_prior_suite(full_path)
 
     def emit(note=None):
         """Print THE result line — exactly one JSON line on stdout, compact
@@ -822,15 +943,22 @@ def main():
         guard.run(lambda: _emit_line(note))
 
     def _emit_line(note):
+        # headline value comes from FRESH measurements only: a stale
+        # (prior-run) number must never be reported as this run's
         head = suite.get("am_lm_b128", {})
         if "utts_per_sec" not in head:  # headline errored: first good
             head = next((v for v in suite.values()
                          if "utts_per_sec" in v), {})
         utts = head.get("utts_per_sec", 0.0)
+        merged = {**prior_suite, **suite}
+        fresh, stale, errs = _coverage(merged)
         extra = {"device": dev_info["device"],
-                 "suite": _compact_suite(suite),
+                 "fresh": fresh, "stale": stale,
+                 "suite": _compact_suite(merged),
                  "full": ("BENCH_FULL_CPU.json" if cpu_mode
                           else "BENCH_FULL.json")}
+        if errs:
+            extra["errors"] = errs
         if note:
             extra["note"] = note
         print(_strict_line({
@@ -902,26 +1030,17 @@ def main():
             print(f"# TPU backend unreachable after {int(waited)}s",
                   file=sys.stderr, flush=True)
             # the 0.0 line is honest (nothing was measured THIS run);
-            # point the reader at the last on-disk full suite so an
-            # outage doesn't read as a perf regression
+            # the stale-stamped prior suite rides along in extra.suite,
+            # and the note cites its headline so an outage doesn't read
+            # as a perf regression
             prior = ""
-            try:
-                with open(os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_FULL.json")) as f:
-                    last_suite = json.load(f)["suite"]
-                # prefer the headline config, else any config that
-                # recorded a throughput (a --only re-measure may have
-                # been the last writer)
-                for name in ["am_lm_b128"] + sorted(last_suite):
-                    last = last_suite.get(name)
-                    if isinstance(last, dict) and "utts_per_sec" in last:
-                        prior = (f"; last recorded suite "
-                                 f"(BENCH_FULL.json {name}): "
-                                 f"{last['utts_per_sec']:.0f} utt/s")
-                        break
-            except Exception:  # noqa: BLE001 — no prior record is fine
-                pass
+            for name in ["am_lm_b128"] + sorted(prior_suite):
+                last = prior_suite.get(name)
+                if isinstance(last, dict) and "utts_per_sec" in last:
+                    prior = (f"; last recorded suite "
+                             f"(BENCH_FULL.json {name}): "
+                             f"{last['utts_per_sec']:.0f} utt/s")
+                    break
             emit(note=f"TPU backend unreachable for {int(waited)}s; "
                       f"no measurements{prior}")
             sys.exit(1)
@@ -934,20 +1053,14 @@ def main():
     def want(name):
         return only is None or only == name
 
-    # CPU mode is harness smoke-testing only (CLAUDE.md): its numbers
-    # must never land in the TPU ledger file the judge/driver read
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_FULL_CPU.json" if cpu_mode else "BENCH_FULL.json")
-
-    prior_suite = _load_prior_suite(full_path, only)
-
     def write_full():
         """Full per-config detail, updated after every config so even a
-        time-capped run leaves a complete record on disk."""
+        time-capped run leaves a complete record on disk (fresh slots
+        overwrite their stale seed; the rest of the prior record rides
+        along stale-stamped — it is never erased)."""
         try:
             _write_full_record(full_path, dev_info["device"], batch,
-                               suite, prior_suite)
+                               suite, prior_suite, run=run_id)
         except Exception as e:  # noqa: BLE001 — the stdout line still emits
             print(f"# BENCH_FULL.json write failed: {e}", file=sys.stderr)
 
@@ -957,12 +1070,14 @@ def main():
         The tunneled TPU's remote-compile helper occasionally returns
         HTTP 500 (observed round 2); one flaky config must not cost the
         whole suite artifact. Failures are retried once, then recorded
-        as {"error": ...} so the final JSON line is always complete."""
+        as {"error": ...} so the final JSON line is always complete —
+        and an errored config keeps its stale prior entry (an error
+        plus last round's number beats an error alone)."""
         if not want(name):
             return
         for attempt in range(retries + 1):
             try:
-                suite[name] = fn()
+                suite[name] = dict(fn(), run=run_id)
                 print(f"# {name}: {json.dumps(_sanitize(suite[name]))}",
                       file=sys.stderr, flush=True)
                 write_full()
@@ -971,7 +1086,11 @@ def main():
                 err = f"{type(e).__name__}: {e}"
                 print(f"# {name} attempt {attempt + 1} failed: "
                       f"{err[:300]}", file=sys.stderr, flush=True)
-        suite[name] = {"error": err[:500]}
+        if name in prior_suite:
+            prior_suite[name] = dict(prior_suite[name],
+                                     last_error=err[:200], error_run=run_id)
+        else:
+            suite[name] = {"error": err[:500], "run": run_id}
         write_full()
 
     for name, fn in suite_configs:

@@ -105,11 +105,12 @@ def test_strict_line_fits_tail_capture_and_reparses():
     import json
     suite = {f"config_{i:02d}": {"utts_per_sec": 1234.56 + i,
                                  "mfu_pct": float("nan"),
-                                 "pct_of_roof": 63.0} for i in range(14)}
+                                 "pct_of_roof": 63.0,
+                                 "stale": i % 3 == 0} for i in range(18)}
     record = {"metric": "m", "value": 1234.56, "unit": "u",
               "vs_baseline": 1.2,
-              "extra": {"device": "TPU v5 lite", "suite":
-                        bench._compact_suite(suite),
+              "extra": {"device": "TPU v5 lite", "fresh": 12, "stale": 6,
+                        "suite": bench._compact_suite(suite),
                         "full": "BENCH_FULL.json"}}
     line = bench._strict_line(record)
     assert len(line) <= bench._EMIT_LIMIT and "\n" not in line
@@ -365,25 +366,75 @@ def test_bench_unreachable_tunnel_emits_line_with_prior(tmp_path):
         assert "last recorded suite" in note and "utt/s" in note
 
 
-def test_full_record_only_merges_prior_suite(tmp_path):
-    """A --only re-measure updates the on-disk full-suite record in place
-    instead of replacing it with a one-config file (which once erased the
-    round's ledger), while a full run starts fresh."""
+def test_full_record_merges_stale_stamped_prior_suite(tmp_path):
+    """EVERY run (full or --only) seeds from the prior record with stale
+    stamps; fresh configs overwrite their slot. Round-4 postmortem: a
+    full run used to start fresh, so a mid-suite kill at 3/14 configs
+    ERASED the previous complete ledger."""
     path = str(tmp_path / "BENCH_FULL.json")
     bench._write_full_record(path, "devA", 128,
-                             {"am_lm_b128": {"utts_per_sec": 2000.0},
-                              "lm_only": {"utts_per_sec": 17000.0}})
-    # targeted re-measure of ONE config
-    prior = bench._load_prior_suite(path, only="lm_only")
+                             {"am_lm_b128": {"utts_per_sec": 2000.0,
+                                             "run": 4},
+                              "lm_only": {"utts_per_sec": 17000.0}},
+                             run=4)
+    prior = bench._load_prior_suite(path)
     assert set(prior) == {"am_lm_b128", "lm_only"}
+    # stale stamps everywhere; per-entry run kept, file-level run
+    # backfills entries that predate run-stamping
+    assert prior["am_lm_b128"] == {"utts_per_sec": 2000.0, "run": 4,
+                                   "stale": True}
+    assert prior["lm_only"]["stale"] and prior["lm_only"]["run"] == 4
+    # a partial run of ONE config must preserve the other slot
     bench._write_full_record(path, "devA", 128,
-                             {"lm_only": {"utts_per_sec": 18000.0}},
-                             prior)
-    rec = json.load(open(path))["suite"]
-    assert rec["am_lm_b128"]["utts_per_sec"] == 2000.0   # preserved
-    assert rec["lm_only"]["utts_per_sec"] == 18000.0     # updated
-    # a FULL run must not inherit stale configs
-    assert bench._load_prior_suite(path, only=None) == {}
-    # and a missing/corrupt prior file is fine for --only
-    assert bench._load_prior_suite(str(tmp_path / "nope.json"),
-                                   only="lm_only") == {}
+                             {"lm_only": {"utts_per_sec": 18000.0,
+                                          "run": 5}},
+                             prior, run=5)
+    rec = json.load(open(path))
+    assert rec["run"] == 5
+    assert rec["suite"]["am_lm_b128"]["utts_per_sec"] == 2000.0  # kept
+    assert rec["suite"]["am_lm_b128"]["stale"] is True
+    assert rec["suite"]["lm_only"] == {"utts_per_sec": 18000.0, "run": 5}
+    # a missing/corrupt prior file is fine
+    assert bench._load_prior_suite(str(tmp_path / "nope.json")) == {}
+
+
+def test_coverage_counts_fresh_stale_errors():
+    merged = {"a": {"utts_per_sec": 1.0},
+              "b": {"utts_per_sec": 2.0, "stale": True},
+              "c": {"error": "boom"},
+              "d": {"utts_per_sec": 3.0, "stale": True,
+                    "last_error": "x"}}
+    assert bench._coverage(merged) == (1, 2, 1)
+
+
+def test_compact_suite_marks_stale_entries():
+    comp = bench._compact_suite(
+        {"a": {"utts_per_sec": 10.0, "stale": True, "run": 3},
+         "b": {"utts_per_sec": 11.0, "run": 5}})
+    assert comp["a"] == {"utts_per_sec": 10.0, "stale": True}
+    assert comp["b"] == {"utts_per_sec": 11.0}
+
+
+def test_current_run_is_one_past_driver_records():
+    # the repo holds BENCH_r01..r04 -> the running round is 5
+    import glob
+    import re
+    here = os.path.dirname(_BENCH)
+    expect = max(int(re.search(r"BENCH_r(\d+)", p).group(1))
+                 for p in glob.glob(os.path.join(here, "BENCH_r*.json"))) + 1
+    assert bench._current_run() == expect
+
+
+def test_roofline_flags_impossible_pct_of_roof():
+    """pct_of_roof > 100 means the measurement (not the model) is wrong —
+    the entry must carry a roof_note flag instead of shipping silently."""
+    import unittest.mock as mock
+    with mock.patch.object(bench, "_peaks", return_value=(100.0, 800.0)):
+        # dt far below the compute roof: 1e12 flops can't run in 1 ms
+        # at 100 TFLOP/s
+        out = bench._roofline(0.001, {"flops": 1e12}, min_bytes=1e6)
+    assert out["pct_of_roof"] > 100.0
+    assert "roof_note" in out
+    with mock.patch.object(bench, "_peaks", return_value=(100.0, 800.0)):
+        ok = bench._roofline(0.02, {"flops": 1e12}, min_bytes=1e6)
+    assert "roof_note" not in ok
