@@ -150,7 +150,9 @@ class Pipeline:
         Params-only: restores the raw checkpoint tree and keeps just
         ``params``/``batch_stats`` — no trainer construction, no optimizer
         state allocated (serving path)."""
-        am_raw = cls._restore_raw(workdir, "am", use_best)
+        allow_mismatch = kw.pop("allow_model_mismatch", False)
+        am_raw = cls._restore_raw(workdir, "am", use_best, model=am_model,
+                                  allow_mismatch=allow_mismatch)
         if am_raw is None:
             raise FileNotFoundError(f"no AM checkpoint under {workdir}")
         am_vars = jax.tree.map(jnp.asarray,
@@ -158,7 +160,9 @@ class Pipeline:
                                 "batch_stats": am_raw["batch_stats"]})
         lm_vars = None
         if lm_model is not None:
-            lm_raw = cls._restore_raw(workdir, "lm", use_best)
+            lm_raw = cls._restore_raw(workdir, "lm", use_best,
+                                      model=lm_model,
+                                      allow_mismatch=allow_mismatch)
             if lm_raw is None:
                 raise FileNotFoundError(f"no LM checkpoint under {workdir}")
             lm_vars = jax.tree.map(jnp.asarray, {"params": lm_raw["params"]})
@@ -167,10 +171,19 @@ class Pipeline:
                    language_vocab=language_vocab, **kw)
 
     @staticmethod
-    def _restore_raw(workdir: str, name: str, use_best: bool):
+    def _restore_raw(workdir: str, name: str, use_best: bool, model=None,
+                     allow_mismatch: bool = False):
+        """Raw checkpoint restore; when ``model`` is given, its
+        architecture is verified against the checkpoint's identity stamp
+        first (train/identity.py — silent wrong-function guard)."""
         from asr_dfcnn_transformer_tpu.train.checkpoint import (
             CheckpointManager)
-        ckpt = CheckpointManager(os.path.join(workdir, f"ckpt_{name}"))
+        ckpt_dir = os.path.join(workdir, f"ckpt_{name}")
+        if model is not None:
+            from asr_dfcnn_transformer_tpu.train import identity
+            identity.check_identity(ckpt_dir, model,
+                                    override=allow_mismatch)
+        ckpt = CheckpointManager(ckpt_dir)
         raw = ckpt.restore_raw_best() if use_best else None
         return raw if raw is not None else ckpt.restore_raw_latest()
 

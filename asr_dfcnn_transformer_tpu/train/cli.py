@@ -72,6 +72,14 @@ def _build_parser():
                              "see train.factory.config_to_json). CLI flags "
                              "override its values; the resolved config is "
                              "written to <workdir>/config.json")
+        sp.add_argument("--force-model-mismatch", action="store_true",
+                        help="restore a checkpoint whose stamped "
+                             "architecture differs STRUCTURALLY from the "
+                             "requested model (train/identity.py). "
+                             "Without this flag such restores fail "
+                             "loudly — a same-shaped param tree under a "
+                             "different architecture silently computes "
+                             "a different function")
 
     for name in ("am", "lm", "atten", "e2e", "joint", "eval", "eval-lm",
                  "eval-e2e", "eval-atten"):
@@ -401,6 +409,8 @@ def cmd_am(args):
     tr = AMTrainer(model, args.workdir, lr=args.lr or 7e-4,
                    augment_noise=args.augment_noise,
                    augment_spec=getattr(args, "augment_spec", False))
+    tr.allow_model_mismatch = getattr(
+        args, "force_model_mismatch", False)
     if getattr(args, "tensorboard", False):
         tr.enable_tensorboard()
     first = next(train_dl.am_batches(bsz, shuffle=False))
@@ -421,6 +431,8 @@ def cmd_lm(args):
     train_dl, dev_dl = loader("train", True), loader("dev", False)
     model = _lm_model(av.size, lv.size, args.small)
     tr = LMTrainer(model, args.workdir, lr=args.lr or 5e-5)
+    tr.allow_model_mismatch = getattr(
+        args, "force_model_mismatch", False)
     if getattr(args, "tensorboard", False):
         tr.enable_tensorboard()
     first = next(train_dl.lm_batches(bsz, shuffle=False))
@@ -448,6 +460,8 @@ def cmd_atten(args):
     else:
         model = CTCAttention(lv.size)
     tr = AttenTrainer(model, args.workdir, lr=args.lr or 7e-4)
+    tr.allow_model_mismatch = getattr(
+        args, "force_model_mismatch", False)
     if getattr(args, "tensorboard", False):
         tr.enable_tensorboard()
     first = next(train_dl.am_batches(bsz, shuffle=False))
@@ -478,6 +492,8 @@ def cmd_e2e(args):
     tr = E2ETrainer(model, args.workdir, lr=args.lr or 3e-4,
                     feature_dim=80 if not args.small else 40,
                     augment_spec=getattr(args, "augment_spec", False))
+    tr.allow_model_mismatch = getattr(
+        args, "force_model_mismatch", False)
     if getattr(args, "tensorboard", False):
         tr.enable_tensorboard()
     dev_dl = loader("dev", False)
@@ -503,6 +519,8 @@ def cmd_joint(args):
     model = AMLMJoint(av.size, lv.size, small=args.small,
                       dtype=jnp.float32 if args.small else jnp.bfloat16)
     tr = JointTrainer(model, args.workdir, lr=args.lr or 7e-4)
+    tr.allow_model_mismatch = getattr(
+        args, "force_model_mismatch", False)
     if getattr(args, "tensorboard", False):
         tr.enable_tensorboard()
     first = next(train_dl.am_batches(bsz, shuffle=False))
@@ -537,6 +555,8 @@ def cmd_eval_atten(args):
     else:
         model = CTCAttention(lv.size)
     tr = AttenTrainer(model, args.workdir)
+    tr.allow_model_mismatch = getattr(
+        args, "force_model_mismatch", False)
     _require_ckpt(tr, "CTC-attention", args.workdir)
     first = next(test_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), first))
@@ -593,6 +613,8 @@ def cmd_eval_e2e(args):
         model = models.SpeechTransformer(ev.size)
     tr = E2ETrainer(model, args.workdir,
                     feature_dim=80 if not args.small else 40)
+    tr.allow_model_mismatch = getattr(
+        args, "force_model_mismatch", False)
     _require_ckpt(tr, "end-to-end", args.workdir)
     first = next(test_dl.am_batches(bsz, shuffle=False))
     tr.restore_or_init(lambda: tr.init_state(jax.random.PRNGKey(0), first))
@@ -660,6 +682,8 @@ def _load_pipeline(args, decode="greedy", beam_width=8, need_am=True):
             args.lm_tf_ckpt, av.size, lv.size, num_blocks=lm.num_blocks))
     else:
         lmt = LMTrainer(lm, args.workdir)
+        lmt.allow_model_mismatch = getattr(
+            args, "force_model_mismatch", False)
         _require_ckpt(lmt, "LM", args.workdir)
         lm_first = next(test_dl.lm_batches(bsz, shuffle=False))
         lm_state = lmt.restore_or_init(lambda: lmt.init_state(
@@ -695,6 +719,8 @@ def _load_pipeline(args, decode="greedy", beam_width=8, need_am=True):
                        args.small,
                        logits_matmul=getattr(args, "logits_matmul", "f32"))
         amt = AMTrainer(am, args.workdir)
+        amt.allow_model_mismatch = getattr(
+            args, "force_model_mismatch", False)
         if need_am or amt.ckpt.latest_step() is not None:
             _require_ckpt(amt, "AM", args.workdir)
             first = next(test_dl.am_batches(bsz, shuffle=False))
@@ -836,7 +862,9 @@ def cmd_export_serving(args):
                 dtype=jnp.float32)
         else:
             model = models.SpeechTransformer(ev.size)
-        raw = Pipeline._restore_raw(args.workdir, "e2e", use_best)
+        raw = Pipeline._restore_raw(
+            args.workdir, "e2e", use_best, model=model,
+            allow_mismatch=getattr(args, "force_model_mismatch", False))
         if raw is None:
             raise SystemExit(f"error: no end-to-end checkpoint under "
                              f"{args.workdir!r}")
@@ -861,7 +889,9 @@ def cmd_export_serving(args):
         pipe = Pipeline.from_checkpoints(
             args.workdir, am, lm, acoustic_vocab=av,
             language_vocab=None if args.no_lm else lv, use_best=use_best,
-            decode=args.decode, beam_width=args.beam_width)
+            decode=args.decode, beam_width=args.beam_width,
+            allow_model_mismatch=getattr(args, "force_model_mismatch",
+                                         False))
         meta = export_pipeline(pipe, args.out, batch_sizes=batch_sizes,
                                buckets=buckets, platforms=platforms)
     print(f"exported serving artifact -> {args.out} "

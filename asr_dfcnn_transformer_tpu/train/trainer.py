@@ -180,13 +180,30 @@ class _TrainerBase:
                            opt_state=self.tx.init(params))
         return jax.device_put(state, replicated(self.mesh))
 
+    #: set True (CLI --force-model-mismatch) to downgrade a structural
+    #: identity mismatch at restore from an error to a warning
+    allow_model_mismatch: bool = False
+
     def restore_or_init(self, init_fn) -> TrainState:
+        from asr_dfcnn_transformer_tpu.train import identity
         template = init_fn()
         restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, template))
         if restored is not None:
+            # architecture stamp check BEFORE using the weights: a
+            # same-shaped param tree under a different architecture (e.g.
+            # a prenet_heads=4 SpeechTransformer checkpoint restored at
+            # heads=1) silently computes a different function otherwise
+            if getattr(self, "model", None) is not None:
+                identity.check_identity(self.ckpt.directory, self.model,
+                                        override=self.allow_model_mismatch)
+                if identity.read_identity(self.ckpt.directory) is None:
+                    # ratchet: stamp pre-stamp checkpoints on first touch
+                    identity.write_identity(self.ckpt.directory, self.model)
             self.state = jax.device_put(restored, replicated(self.mesh))
         else:
             self.state = template
+            if getattr(self, "model", None) is not None:
+                identity.write_identity(self.ckpt.directory, self.model)
         return self.state
 
     def save(self, epoch: int):
