@@ -37,7 +37,7 @@ def test_wait_retries_until_probe_recovers(monkeypatch, capsys):
         return calls["n"] >= 3          # down, down, up
 
     monkeypatch.setattr(mc, "_probe_once", probe)
-    monkeypatch.setattr(mc.time, "sleep", lambda s: None)
+    monkeypatch.setattr(mc, "_sleep", lambda s: None)
     monkeypatch.setenv("ASR_TPU_PROBE_WAIT", "3600")
     mc.setup_device(False)              # must not raise
     assert calls["n"] == 3
@@ -46,13 +46,37 @@ def test_wait_retries_until_probe_recovers(monkeypatch, capsys):
 
 
 def test_wait_deadline_still_fails(monkeypatch):
+    # patch the module-level indirections, NOT the shared stdlib time
+    # module (a global patch + finite iterator made any concurrent
+    # time.monotonic() caller raise StopIteration — ADVICE r4); the
+    # unbounded clock below never exhausts
     monkeypatch.setattr(mc, "_probe_once", lambda t: False)
-    monkeypatch.setattr(mc.time, "sleep", lambda s: None)
-    t = iter([0.0, 0.0, 100.0, 200.0, 300.0, 400.0])
-    monkeypatch.setattr(mc.time, "monotonic", lambda: next(t))
+    monkeypatch.setattr(mc, "_sleep", lambda s: None)
+    clock = {"t": -100.0}
+
+    def monotonic():
+        clock["t"] += 100.0             # 0, 100, 200, ... forever
+        return clock["t"]
+
+    monkeypatch.setattr(mc, "_monotonic", monotonic)
     monkeypatch.setenv("ASR_TPU_PROBE_WAIT", "150")
     with pytest.raises(SystemExit):
         mc.setup_device(False)
+
+
+def test_malformed_probe_wait_env_falls_back(monkeypatch, capsys):
+    """ASR_TPU_PROBE_WAIT='30m' must not break the JSON-error-line
+    contract with a float() traceback (ADVICE r4): fall back to 0 with
+    a stderr warning -> fail-fast path."""
+    monkeypatch.setattr(mc, "_probe_once", lambda t: False)
+    monkeypatch.setenv("ASR_TPU_PROBE_WAIT", "30m")
+    with pytest.raises(SystemExit) as e:
+        mc.setup_device(False)
+    assert e.value.code == 1
+    cap = capsys.readouterr()
+    assert "malformed ASR_TPU_PROBE_WAIT" in cap.err
+    assert "unreachable" in json.loads(
+        cap.out.strip().splitlines()[-1])["error"]
 
 
 def test_cpu_pin_skips_probe(monkeypatch, capsys):

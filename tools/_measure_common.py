@@ -27,6 +27,13 @@ from pathlib import Path
 from typing import Optional
 
 
+# module-level timing indirection: tests patch THESE instead of the
+# shared stdlib time module (a global time.monotonic patch leaks into
+# any concurrent code — ADVICE r4)
+_monotonic = time.monotonic
+_sleep = time.sleep
+
+
 def _probe_once(probe_timeout: float) -> bool:
     code = ("import jax, jax.numpy as jnp;"
             "print('PROBE', float(jnp.sum(jnp.ones((128, 128)))))")
@@ -63,14 +70,22 @@ def setup_device(cpu: bool, *, probe_timeout: float = 180.0,
         pass
     if not cpu:
         if probe_wait is None:
-            probe_wait = float(os.environ.get("ASR_TPU_PROBE_WAIT", "0"))
-        deadline = time.monotonic() + max(probe_wait, 0.0)
+            raw = os.environ.get("ASR_TPU_PROBE_WAIT", "0")
+            try:
+                probe_wait = float(raw)
+            except ValueError:
+                # a malformed value (e.g. '30m') must not break the
+                # exit-with-JSON-error-line contract with a traceback
+                print(f"# ignoring malformed ASR_TPU_PROBE_WAIT={raw!r}; "
+                      f"using 0", file=sys.stderr, flush=True)
+                probe_wait = 0.0
+        deadline = _monotonic() + max(probe_wait, 0.0)
         while not _probe_once(probe_timeout):
-            if time.monotonic() >= deadline:
+            if _monotonic() >= deadline:
                 print(json.dumps({"error": "TPU tunnel unreachable; "
                                   "not dispatching"}))
                 sys.exit(1)
             print(json.dumps({"probe": "tunnel down; retrying"}),
                   file=sys.stderr, flush=True)
-            time.sleep(30.0)
+            _sleep(30.0)
     print(json.dumps({"device": jax.devices()[0].device_kind}), flush=True)
