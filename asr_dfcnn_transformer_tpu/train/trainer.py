@@ -187,18 +187,24 @@ class _TrainerBase:
     def restore_or_init(self, init_fn) -> TrainState:
         from asr_dfcnn_transformer_tpu.train import identity
         template = init_fn()
-        restored = self.ckpt.restore_latest(jax.tree.map(np.asarray, template))
-        if restored is not None:
-            # architecture stamp check BEFORE using the weights: a
+        has_ckpt = self.ckpt.latest_step() is not None
+        if has_ckpt and getattr(self, "model", None) is not None:
+            # architecture stamp check BEFORE orbax touches the tree: a
             # same-shaped param tree under a different architecture (e.g.
             # a prenet_heads=4 SpeechTransformer checkpoint restored at
-            # heads=1) silently computes a different function otherwise
-            if getattr(self, "model", None) is not None:
-                identity.check_identity(self.ckpt.directory, self.model,
-                                        override=self.allow_model_mismatch)
-                if identity.read_identity(self.ckpt.directory) is None:
-                    # ratchet: stamp pre-stamp checkpoints on first touch
-                    identity.write_identity(self.ckpt.directory, self.model)
+            # heads=1) silently computes a different function, and a
+            # different-shaped one would surface as an opaque orbax
+            # tree-mismatch ValueError instead of naming the fields
+            identity.check_identity(self.ckpt.directory, self.model,
+                                    override=self.allow_model_mismatch)
+        restored = (self.ckpt.restore_latest(jax.tree.map(np.asarray,
+                                                          template))
+                    if has_ckpt else None)
+        if restored is not None:
+            if getattr(self, "model", None) is not None and \
+                    identity.read_identity(self.ckpt.directory) is None:
+                # ratchet: stamp pre-stamp checkpoints on first touch
+                identity.write_identity(self.ckpt.directory, self.model)
             self.state = jax.device_put(restored, replicated(self.mesh))
         else:
             self.state = template

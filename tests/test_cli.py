@@ -31,6 +31,17 @@ def test_cli_eval(workdir):
     assert os.path.exists(os.path.join(workdir, "pred", "pred_log"))
 
 
+def test_cli_eval_wrong_model_fails_loudly(workdir):
+    """eval --model must match what `am` trained — now enforced by the
+    checkpoint identity stamp instead of operator discipline (the
+    reference restores silently into whatever the flags built,
+    test.py:121-136). VERDICT r4 weak-4b, CLI level."""
+    from asr_dfcnn_transformer_tpu.train.identity import ModelIdentityError
+    with pytest.raises(ModelIdentityError, match="class"):
+        cli.main(["eval", "--workdir", workdir, "--synthetic", "16",
+                  "--small", "--batch-size", "8", "--model", "dfcnn"])
+
+
 def test_cli_infer(workdir, capsys):
     wav = os.path.join(workdir, "synthetic", "wav", "test", "utt_0.wav")
     cli.main(["infer", "--workdir", workdir, "--synthetic", "16", "--small",
