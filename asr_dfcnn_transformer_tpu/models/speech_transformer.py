@@ -27,7 +27,7 @@ Re-design of the reference's ``end2end/model.py:174-370``:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -435,13 +435,25 @@ def _finalize_beam(tokens, logp, lp_alpha: float):
 
 def beam_decode_cached(model: SpeechTransformer, params, feats, feat_valid,
                        beam_size: int = 3, lp_alpha: float = 0.6,
-                       max_len: int = 64):
+                       max_len: int = 64,
+                       microbatch: Optional[int] = None):
     """KV-cached batched beam search (same scoring as :func:`beam_decode`,
     O(L) decoder work per step). Beams ride the batch axis; surviving
     beams gather-reorder the self-attention caches each step.
 
+    ``microbatch``: decode in sequential chunks (exact; see
+    :func:`_microbatched` — beams multiply the cross-KV working set by
+    K, so the VMEM-residency cliff arrives even earlier than greedy).
+
     Returns (ids [B, max_len], lengths [B], scores [B]).
     """
+    if microbatch is not None and feats.shape[0] > microbatch:
+        return _microbatched(
+            lambda f, v: beam_decode_cached(model, params, f, v,
+                                            beam_size=beam_size,
+                                            lp_alpha=lp_alpha,
+                                            max_len=max_len),
+            feats, feat_valid, microbatch)
     k = beam_size
     b = feats.shape[0]
     memory, mem_valid = model.apply(params, feats, feat_valid,
@@ -528,15 +540,50 @@ def greedy_decode(model: SpeechTransformer, params, feats, feat_valid,
     return _finalize_greedy(tokens)
 
 
+def _microbatched(decode_fn, feats, feat_valid, microbatch):
+    """Run ``decode_fn(chunk_feats, chunk_valid)`` over sequential
+    micro-batches via ``lax.map`` and re-concatenate every output.
+
+    Why (measured, DESIGN.md §9 round 5): the per-step cross-attention
+    K/V working set grows with batch and stops fitting VMEM residency
+    between micro-batch 8 and 32 on v5e — one b32 greedy decode costs
+    124 ms where four sequential b8 decodes cost 62 ms. Exact: each
+    utterance's decode is independent, so chunking changes nothing but
+    the schedule (parity-tested)."""
+    b = feats.shape[0]
+    if microbatch is None or b <= microbatch:
+        return decode_fn(feats, feat_valid)
+    if b % microbatch != 0:
+        raise ValueError(f"batch {b} not divisible by microbatch "
+                         f"{microbatch}")
+    n = b // microbatch
+    fc = feats.reshape(n, microbatch, *feats.shape[1:])
+    vc = feat_valid.reshape(n, microbatch)
+    outs = jax.lax.map(lambda xv: decode_fn(xv[0], xv[1]), (fc, vc))
+    return jax.tree.map(
+        lambda a: a.reshape(b, *a.shape[2:]), outs)
+
+
 def greedy_decode_cached(model: SpeechTransformer, params, feats, feat_valid,
-                         max_len: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         max_len: int = 64,
+                         microbatch: Optional[int] = None,
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KV-cached autoregressive greedy decode — O(L) attention work per
     token instead of the full-recompute O(L^2) of :func:`greedy_decode`
     (same outputs; validated against it in tests).
 
     Cross-attention K/V are projected from the encoder memory once; each
     step appends one row to per-layer self-attention caches.
+
+    ``microbatch``: decode in sequential chunks of this many utterances
+    (exact; see :func:`_microbatched` — a measured 2x at batch 32 on
+    v5e where the cross-KV working set outgrows VMEM residency).
     """
+    if microbatch is not None and feats.shape[0] > microbatch:
+        return _microbatched(
+            lambda f, v: greedy_decode_cached(model, params, f, v,
+                                              max_len=max_len),
+            feats, feat_valid, microbatch)
     b = feats.shape[0]
     memory, mem_valid = model.apply(params, feats, feat_valid,
                                     method=SpeechTransformer.encode)

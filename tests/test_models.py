@@ -364,3 +364,44 @@ def test_prenet_mask_makes_decode_bucket_invariant(rng):
     np.testing.assert_allclose(np.asarray(mem_s[0, :nv]),
                                np.asarray(mem_l[0, :nv]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_microbatched_greedy_decode_matches_unchunked(rng):
+    """microbatch chunking is a pure schedule change (DESIGN §9 round 5:
+    2x at b32 where cross-KV outgrows VMEM residency) — outputs must be
+    token-identical to the unchunked decode."""
+    m = _tiny_e2e()
+    feats = _feats(4, 16, 8)
+    dec_in = np.ones((4, 3), np.int32)
+    lens = jnp.array([16, 12, 16, 8])
+    params = m.init(rng, feats, lens, dec_in, train=False)
+    ids_a, len_a = models.greedy_decode_cached(m, params, feats, lens,
+                                               max_len=6)
+    ids_b, len_b = models.greedy_decode_cached(m, params, feats, lens,
+                                               max_len=6, microbatch=2)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_array_equal(np.asarray(len_a), np.asarray(len_b))
+    # microbatch >= batch is a no-op path
+    ids_c, _ = models.greedy_decode_cached(m, params, feats, lens,
+                                           max_len=6, microbatch=8)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_c))
+    with pytest.raises(ValueError, match="divisible"):
+        models.greedy_decode_cached(m, params, feats, lens, max_len=6,
+                                    microbatch=3)
+
+
+def test_microbatched_beam_decode_matches_unchunked(rng):
+    m = _tiny_e2e()
+    feats = _feats(4, 16, 8)
+    dec_in = np.ones((4, 3), np.int32)
+    lens = jnp.array([16, 12, 16, 8])
+    params = m.init(rng, feats, lens, dec_in, train=False)
+    ids_a, len_a, sc_a = models.beam_decode_cached(m, params, feats, lens,
+                                                   beam_size=3, max_len=6)
+    ids_b, len_b, sc_b = models.beam_decode_cached(m, params, feats, lens,
+                                                   beam_size=3, max_len=6,
+                                                   microbatch=2)
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+    np.testing.assert_array_equal(np.asarray(len_a), np.asarray(len_b))
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b),
+                               rtol=1e-5, atol=1e-6)
