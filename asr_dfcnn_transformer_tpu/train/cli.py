@@ -626,12 +626,17 @@ def cmd_eval_e2e(args):
         feats, valid = tr._features(jnp.asarray(batch.signals),
                                     jnp.asarray(batch.signal_lengths),
                                     batch.bucket_frames)
+        # microbatch=8: exact chunked decode — the cross-KV working set
+        # outgrows VMEM residency past ~8 utterances, measured 2x at b32
+        # (DESIGN.md §9 round 5)
+        mb = 8 if feats.shape[0] % 8 == 0 else None
         if args.decode == "beam":
             ids, lens, _ = models.beam_decode_cached(
-                model, variables, feats, valid, beam_size=args.beam_width)
+                model, variables, feats, valid, beam_size=args.beam_width,
+                microbatch=mb)
         else:
             ids, lens = models.greedy_decode_cached(model, variables, feats,
-                                                    valid)
+                                                    valid, microbatch=mb)
         ids, lens = np.asarray(ids), np.asarray(lens)
         for j in range(ids.shape[0]):
             if batch.weights[j] == 0:
