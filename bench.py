@@ -763,7 +763,7 @@ def bench_train_e2e(m, batch=8, steps=60):
 
 
 def bench_e2e_decode(batch=8, mode="greedy", frames=FRAMES, max_len=64,
-                     iters=20):
+                     iters=20, microbatch=None):
     """Absolute end-to-end speech-Transformer decode numbers (VERDICT r4
     next-3 #4): encoder + KV-cached autoregressive decode to 64-token
     targets, utt/s and ms/utterance — the path that finishes the
@@ -791,11 +791,13 @@ def bench_e2e_decode(batch=8, mode="greedy", frames=FRAMES, max_len=64,
     if mode == "greedy":
         def body(z, i):
             return models.greedy_decode_cached(model, params, z, lens,
-                                               max_len=max_len)
+                                               max_len=max_len,
+                                               microbatch=microbatch)
     else:
         def body(z, i):
             return models.beam_decode_cached(model, params, z, lens,
-                                             beam_size=3, max_len=max_len)
+                                             beam_size=3, max_len=max_len,
+                                             microbatch=microbatch)
 
     dt, roof = _scan_time(body, feats, iters=iters,
                           min_bytes=_tree_bytes(params) + feats.nbytes)
@@ -872,6 +874,10 @@ def main():
         ("e2e_beam3_b8", lambda: bench_e2e_decode(8, "beam", iters=10)),
         ("e2e_greedy_b32", lambda: bench_e2e_decode(32, "greedy")),
         ("e2e_beam3_b32", lambda: bench_e2e_decode(32, "beam", iters=10)),
+        # the shipped fix for the b32 cross-KV VMEM cliff (DESIGN 9 r5):
+        # exact chunked decode, measured 2.0x over plain b32
+        ("e2e_greedy_b32_mb8", lambda: bench_e2e_decode(
+            32, "greedy", microbatch=8)),
     ]
     if only is not None and only not in {n for n, _ in suite_configs}:
         print(f"unknown --only {only!r}; valid names: "
