@@ -106,10 +106,10 @@ def test_strict_line_fits_tail_capture_and_reparses():
     suite = {f"config_{i:02d}": {"utts_per_sec": 1234.56 + i,
                                  "mfu_pct": float("nan"),
                                  "pct_of_roof": 63.0,
-                                 "stale": i % 3 == 0} for i in range(18)}
+                                 "stale": i % 3 == 0} for i in range(21)}
     record = {"metric": "m", "value": 1234.56, "unit": "u",
               "vs_baseline": 1.2,
-              "extra": {"device": "TPU v5 lite", "fresh": 12, "stale": 6,
+              "extra": {"device": "TPU v5 lite", "fresh": 14, "stale": 7,
                         "suite": bench._compact_suite(suite),
                         "full": "BENCH_FULL.json"}}
     line = bench._strict_line(record)
